@@ -1,0 +1,104 @@
+"""Indirect-supervision losses (SURVEY.md §2.7, §3.4).
+
+Render losses on the soft-rasterized map (binary silhouette BCE, soft IoU,
+and per-pixel categorical CE over body-part channels — the reference's two
+possible formulations per SURVEY.md §0.1 item 3 are both provided), plus the
+2D keypoint reprojection loss on visible joints and the usual parameter
+regularizers. All losses are means so they are batch-size and
+device-count invariant (required for data-parallel gradient averaging,
+SURVEY.md §2 parallelism table).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-7
+
+
+def silhouette_bce(pred_sil: jax.Array, target_sil: jax.Array) -> jax.Array:
+    """Binary cross-entropy. pred/target [B, H, W], pred in (0, 1)."""
+    p = jnp.clip(pred_sil, _EPS, 1.0 - _EPS)
+    return -jnp.mean(target_sil * jnp.log(p) + (1.0 - target_sil) * jnp.log1p(-p))
+
+
+def silhouette_iou(pred_sil: jax.Array, target_sil: jax.Array) -> jax.Array:
+    """Soft-IoU loss: 1 − |p∩t| / |p∪t|, per image then mean over batch."""
+    inter = jnp.sum(pred_sil * target_sil, axis=(-2, -1))
+    union = jnp.sum(pred_sil + target_sil - pred_sil * target_sil, axis=(-2, -1))
+    return jnp.mean(1.0 - inter / (union + _EPS))
+
+
+def part_seg_ce(pred_probs: jax.Array, target_labels: jax.Array) -> jax.Array:
+    """Per-pixel categorical CE over C+1 channels (0 = background).
+
+    pred_probs [B, H, W, C+1] (normalized), target_labels [B, H, W] int.
+    """
+    logp = jnp.log(jnp.clip(pred_probs, _EPS, 1.0))
+    picked = jnp.take_along_axis(logp, target_labels[..., None], axis=-1)
+    return -jnp.mean(picked)
+
+
+def keypoint_l2(
+    pred_kp2d: jax.Array, target_kp2d: jax.Array, visibility: jax.Array,
+    image_size: int,
+) -> jax.Array:
+    """Visibility-masked mean squared 2D keypoint error, in normalized units.
+
+    pred/target [B, K, 2] in pixels; visibility [B, K] in {0, 1}. Scaling by
+    1/image_size makes the weight resolution-independent.
+    """
+    scale = 1.0 / image_size
+    err = jnp.sum(((pred_kp2d - target_kp2d) * scale) ** 2, axis=-1)  # [B, K]
+    num = jnp.sum(err * visibility)
+    den = jnp.sum(visibility) + _EPS
+    return num / den
+
+
+def shape_reg(betas: jax.Array) -> jax.Array:
+    """L2 prior pulling β toward the mean shape."""
+    return jnp.mean(jnp.sum(betas * betas, axis=-1))
+
+
+def pose_reg(pose: jax.Array) -> jax.Array:
+    """L2 prior on body pose (excludes the 3 global-orientation dims)."""
+    return jnp.mean(jnp.sum(pose[..., 3:] * pose[..., 3:], axis=-1))
+
+
+def total_loss(
+    outputs: dict[str, jax.Array],
+    targets: dict[str, jax.Array],
+    weights: dict[str, float],
+    image_size: int,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Weighted sum of the indirect-learning losses.
+
+    outputs: silhouette [B,H,W], probs [B,H,W,C+1], kp2d [B,K,2],
+             pose [B,72], betas [B,10]
+    targets: silhouette [B,H,W] and/or part_labels [B,H,W] int,
+             kp2d [B,K,2], kp_vis [B,K]
+    weights: keys among {'sil_bce','sil_iou','part_ce','kp','shape_reg',
+             'pose_reg'}; zero/absent terms are skipped at trace time.
+    """
+    terms: dict[str, jax.Array] = {}
+    if weights.get("sil_bce", 0.0):
+        terms["sil_bce"] = silhouette_bce(outputs["silhouette"], targets["silhouette"])
+    if weights.get("sil_iou", 0.0):
+        terms["sil_iou"] = silhouette_iou(outputs["silhouette"], targets["silhouette"])
+    if weights.get("part_ce", 0.0):
+        terms["part_ce"] = part_seg_ce(outputs["probs"], targets["part_labels"])
+    if weights.get("kp", 0.0):
+        terms["kp"] = keypoint_l2(
+            outputs["kp2d"], targets["kp2d"], targets["kp_vis"], image_size
+        )
+    if weights.get("shape_reg", 0.0):
+        terms["shape_reg"] = shape_reg(outputs["betas"])
+    if weights.get("pose_reg", 0.0):
+        terms["pose_reg"] = pose_reg(outputs["pose"])
+
+    total = jnp.asarray(0.0, jnp.float32)
+    for name, value in terms.items():
+        total = total + weights[name] * value
+    terms["total"] = total
+    return total, terms

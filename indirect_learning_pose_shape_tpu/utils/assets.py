@@ -1,0 +1,253 @@
+"""SMPL model asset handling.
+
+The reference loads a pickled SMPL model (`neutral_smpl_with_cocoplus_reg.pkl`,
+SURVEY.md §2.9 [R-high]) containing chumpy/scipy arrays. The rebuild keeps the
+asset as a plain dataclass of numpy arrays, convertible once to ``.npz``
+(`tools/convert_smpl_pkl.py`) and fed to the JAX model as constant device
+arrays. Because no reference snapshot or pkl is present in this environment
+(SURVEY.md §0), `synthetic_asset` deterministically generates a
+correctly-shaped, numerically well-behaved stand-in so every test and
+benchmark runs end to end; the loader transparently picks up a real asset when
+one appears.
+
+Tensor shapes (SURVEY.md §2.9):
+    v_template   [V, 3]      rest-pose vertices        (V = 6890)
+    shapedirs    [V, 3, 10]  shape blendshape basis
+    posedirs     [V, 3, 207] pose-corrective basis      (207 = 23 * 9)
+    J_regressor  [24, V]     rest-joint regressor
+    cocoplus_regressor [19, V]  keypoint regressor for the 2D loss
+    weights      [V, 24]     LBS skinning weights (rows sum to 1)
+    parents      [24]        kinematic-tree parent index (parents[0] = -1)
+    faces        [F, 3]      triangle indices (vis only; training path is
+                             vertex-splat based, no face rasterization)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+
+NUM_VERTS = 6890
+NUM_JOINTS = 24
+NUM_BETAS = 10
+NUM_POSE_FEATS = (NUM_JOINTS - 1) * 9  # 207
+NUM_COCO_JOINTS = 19
+NUM_FACES = 13776
+
+# Standard SMPL kinematic tree (public model topology; joint k's parent).
+SMPL_PARENTS = np.array(
+    [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19, 20, 21],
+    dtype=np.int32,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SMPLAsset:
+    """Container for the SMPL model tensors (all float32 numpy)."""
+
+    v_template: np.ndarray
+    shapedirs: np.ndarray
+    posedirs: np.ndarray
+    J_regressor: np.ndarray
+    cocoplus_regressor: np.ndarray
+    weights: np.ndarray
+    parents: np.ndarray
+    faces: np.ndarray
+
+    @property
+    def num_verts(self) -> int:
+        return int(self.v_template.shape[0])
+
+    @property
+    def num_joints(self) -> int:
+        return int(self.J_regressor.shape[0])
+
+    @property
+    def num_betas(self) -> int:
+        return int(self.shapedirs.shape[2])
+
+    def part_labels(self) -> np.ndarray:
+        """Per-vertex body-part label in [0, num_joints): argmax skin weight.
+
+        The reference pre-labels vertices by body part for its part-based
+        segmentation channel (SURVEY.md §2.3). Without the reference's label
+        file, the dominant-skinning-weight rule is the canonical stand-in and
+        is what the rasterizer's class channels use.
+        """
+        return np.argmax(self.weights, axis=1).astype(np.int32)
+
+    def validate(self) -> None:
+        v, j, b = self.num_verts, self.num_joints, self.num_betas
+        assert self.v_template.shape == (v, 3)
+        assert self.shapedirs.shape == (v, 3, b)
+        assert self.posedirs.shape == (v, 3, (j - 1) * 9)
+        assert self.J_regressor.shape == (j, v)
+        assert self.weights.shape == (v, j)
+        assert self.parents.shape == (j,)
+        assert self.parents[0] == -1
+        assert np.all(self.parents[1:] < np.arange(1, j)), "parents must precede children"
+        np.testing.assert_allclose(self.weights.sum(axis=1), 1.0, atol=1e-4)
+
+
+def synthetic_asset(
+    num_verts: int = NUM_VERTS,
+    num_joints: int = NUM_JOINTS,
+    num_betas: int = NUM_BETAS,
+    seed: int = 0,
+) -> SMPLAsset:
+    """Deterministic synthetic SMPL-shaped asset.
+
+    Built so the forward model is numerically tame: a roughly body-sized
+    vertex cloud (unit-scale, zero-centred), joints placed at skinning-weight
+    centroids, smooth skinning weights, and small blendshape bases. Supports
+    reduced sizes (e.g. V=864, J=24) for fast CPU tests (SURVEY.md §4.4).
+    """
+    rng = np.random.RandomState(seed)
+    if num_joints == NUM_JOINTS:
+        parents = SMPL_PARENTS.copy()
+    else:
+        parents = np.concatenate(
+            [[-1], rng.randint(0, np.maximum(1, np.arange(1, num_joints)))]
+        ).astype(np.int32)
+        # Ensure parent index < child index (topological order), as in SMPL.
+        parents[1:] = np.minimum(parents[1:], np.arange(num_joints - 1))
+
+    # Joint rest positions: a rough stick-figure along y, branching in x.
+    joint_pos = np.zeros((num_joints, 3), dtype=np.float64)
+    for k in range(1, num_joints):
+        direction = rng.randn(3) * np.array([0.35, 0.5, 0.12])
+        joint_pos[k] = joint_pos[parents[k]] + direction * 0.25
+
+    # Vertices: Gaussian blobs around the bones.
+    owner = rng.randint(0, num_joints, size=num_verts)
+    v_template = joint_pos[owner] + rng.randn(num_verts, 3) * 0.07
+
+    # Skinning weights: softmax of negative distance to each joint.
+    d = np.linalg.norm(v_template[:, None, :] - joint_pos[None, :, :], axis=-1)
+    logits = -d / 0.08
+    logits -= logits.max(axis=1, keepdims=True)
+    weights = np.exp(logits)
+    weights /= weights.sum(axis=1, keepdims=True)
+
+    # Joint regressor: normalized proximity weights (rows sum to 1) so that
+    # J_regressor @ v_template ≈ joint_pos.
+    jr = weights.T.copy()  # [J, V]
+    jr /= jr.sum(axis=1, keepdims=True) + 1e-12
+
+    shapedirs = rng.randn(num_verts, 3, num_betas) * 0.01
+    posedirs = rng.randn(num_verts, 3, (num_joints - 1) * 9) * 0.002
+
+    ncoco = min(NUM_COCO_JOINTS, num_joints)
+    coco = np.zeros((NUM_COCO_JOINTS, num_verts), dtype=np.float64)
+    picks = rng.randint(0, num_joints, size=NUM_COCO_JOINTS)
+    picks[:ncoco] = np.arange(ncoco)
+    for i, k in enumerate(picks):
+        coco[i] = jr[k]
+
+    # Faces: random triangles (visualisation only).
+    nfaces = min(NUM_FACES, max(4, num_verts * 2))
+    faces = rng.randint(0, num_verts, size=(nfaces, 3)).astype(np.int32)
+
+    asset = SMPLAsset(
+        v_template=v_template.astype(np.float32),
+        shapedirs=shapedirs.astype(np.float32),
+        posedirs=posedirs.astype(np.float32),
+        J_regressor=jr.astype(np.float32),
+        cocoplus_regressor=coco.astype(np.float32),
+        weights=weights.astype(np.float32),
+        parents=parents,
+        faces=faces,
+    )
+    asset.validate()
+    return asset
+
+
+class _ChumpyShimUnpickler(pickle.Unpickler):
+    """Unpickles chumpy/scipy-bearing SMPL pkls without chumpy installed.
+
+    The original asset stores `chumpy.Ch` arrays; we substitute a minimal
+    class exposing the underlying ndarray (SURVEY.md §7 "hard parts").
+    """
+
+    class _Ch:  # minimal chumpy.Ch stand-in
+        def __setstate__(self, state):
+            self.__dict__.update(state)
+
+        @property
+        def r(self):
+            return np.asarray(self.__dict__.get("x"))
+
+    def find_class(self, module, name):
+        if module.startswith("chumpy"):
+            return _ChumpyShimUnpickler._Ch
+        return super().find_class(module, name)
+
+
+def _to_dense(x) -> np.ndarray:
+    if hasattr(x, "r"):  # chumpy shim
+        x = x.r
+    if hasattr(x, "todense"):  # scipy sparse
+        x = np.asarray(x.todense())
+    return np.asarray(x, dtype=np.float64)
+
+
+def load_pkl(path: str) -> SMPLAsset:
+    """Load a real SMPL pkl (chumpy-era pickle) into an SMPLAsset."""
+    with open(path, "rb") as f:
+        data = _ChumpyShimUnpickler(io.BytesIO(f.read()), encoding="latin1").load()
+    kintree = np.asarray(data["kintree_table"], dtype=np.int64)
+    parents = kintree[0].astype(np.int32)
+    parents[0] = -1
+    coco_key = "cocoplus_regressor" if "cocoplus_regressor" in data else "J_regressor"
+    return SMPLAsset(
+        v_template=_to_dense(data["v_template"]).astype(np.float32),
+        shapedirs=_to_dense(data["shapedirs"]).astype(np.float32),
+        posedirs=_to_dense(data["posedirs"]).astype(np.float32),
+        J_regressor=_to_dense(data["J_regressor"]).astype(np.float32),
+        cocoplus_regressor=_to_dense(data[coco_key]).astype(np.float32),
+        weights=_to_dense(data["weights"]).astype(np.float32),
+        parents=parents,
+        faces=np.asarray(data["f"], dtype=np.int32),
+    )
+
+
+_FIELDS = [f.name for f in dataclasses.fields(SMPLAsset)]
+
+
+def save_npz(asset: SMPLAsset, path: str) -> None:
+    np.savez_compressed(path, **{k: getattr(asset, k) for k in _FIELDS})
+
+
+def load_npz(path: str) -> SMPLAsset:
+    with np.load(path) as z:
+        asset = SMPLAsset(**{k: z[k] for k in _FIELDS})
+    asset.validate()
+    return asset
+
+
+def load_asset(path: Optional[str] = None, **synthetic_kwargs) -> SMPLAsset:
+    """Load the SMPL asset: real file if available, else the synthetic one.
+
+    Search order: explicit `path` (npz or pkl), `$SMPL_ASSET_PATH`, the
+    conventional repo-root `assets/` names, then `synthetic_asset()`.
+    """
+    candidates = []
+    if path:
+        candidates.append(path)
+    env = os.environ.get("SMPL_ASSET_PATH")
+    if env:
+        candidates.append(env)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidates += [
+        os.path.join(root, "assets", "smpl_neutral.npz"),
+        os.path.join(root, "assets", "neutral_smpl_with_cocoplus_reg.pkl"),
+    ]
+    for cand in candidates:
+        if os.path.exists(cand):
+            return load_npz(cand) if cand.endswith(".npz") else load_pkl(cand)
+    return synthetic_asset(**synthetic_kwargs)

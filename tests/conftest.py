@@ -1,0 +1,36 @@
+"""Test harness: CPU backend with 8 fake devices (SURVEY.md §4.4).
+
+Must set env vars before the first `import jax` anywhere in the test
+process so the v4-8-style data-parallel mesh is testable without TPUs.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from indirect_learning_pose_shape_tpu.utils import assets  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_asset() -> assets.SMPLAsset:
+    """Small but full-topology asset (real 24-joint SMPL tree, 864 verts)."""
+    return assets.synthetic_asset(num_verts=864, seed=1)
+
+
+@pytest.fixture(scope="session")
+def full_asset() -> assets.SMPLAsset:
+    """Full-size synthetic asset (V=6890) for shape-faithful tests."""
+    return assets.synthetic_asset(seed=0)
+
+
+@pytest.fixture()
+def rng() -> np.random.RandomState:
+    return np.random.RandomState(42)
