@@ -1,0 +1,80 @@
+"""Benchmark entry point: full indirect train step throughput (BASELINE config 4).
+
+Times the flagship workload — encoder(ResNet-18, 256²) → IEF → SMPL(6890
+verts) → weak-persp projection → differentiable soft raster at 256² →
+render+keypoint losses → backward → Adam, with on-device synthetic batch
+generation — on the default accelerator, and the identical step on the host
+CPU as the reference point (the reference implementation is CPU/single-GPU
+era TF; BASELINE.json:5 sets the ≥10×-vs-CPU target).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
+is train images/sec/chip on the accelerator and vs_baseline is the
+accelerator/CPU throughput ratio.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _throughput(device, batch_size: int, steps: int, warmup: int = 2) -> float:
+    """Train-step throughput (images/sec) for config-4 on `device`."""
+    from indirect_learning_pose_shape_tpu import configs, train
+    from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
+
+    cfg = dataclasses.replace(configs.CONFIG4_FULL, batch_size=batch_size)
+    asset = assets_lib.load_asset()
+    ts, consts = train.init_state(cfg, asset)
+    ts = jax.device_put(ts, device)
+    consts = jax.device_put(consts, device)
+    gen_fn, step_fn = train.compile_train_fns(cfg, consts)
+
+    for _ in range(warmup):
+        batch = gen_fn(ts.rng, ts.step)
+        ts, terms = step_fn(ts, batch)
+    jax.block_until_ready(ts.params)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        batch = gen_fn(ts.rng, ts.step)
+        ts, terms = step_fn(ts, batch)
+    jax.block_until_ready(ts.params)
+    dt = time.perf_counter() - t0
+    assert bool(jnp.isfinite(terms["total"])), "non-finite loss in benchmark"
+    return batch_size * steps / dt
+
+
+def main():
+    accel = jax.devices()[0]
+    accel_imgs_per_sec = _throughput(accel, batch_size=32, steps=20)
+
+    vs_baseline = float("nan")
+    try:
+        cpu = jax.devices("cpu")[0]
+        # Identical per-image workload (256², full model); small batch/steps —
+        # the host CPU step is orders of magnitude slower.
+        cpu_imgs_per_sec = _throughput(cpu, batch_size=4, steps=1, warmup=1)
+        vs_baseline = accel_imgs_per_sec / cpu_imgs_per_sec
+    except Exception as e:  # CPU backend unavailable: report accel number only
+        print(f"cpu baseline unavailable: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip_config4",
+                "value": round(accel_imgs_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

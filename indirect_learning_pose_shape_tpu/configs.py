@@ -1,0 +1,88 @@
+"""Run configuration: one frozen dataclass + the five BASELINE presets.
+
+The reference keeps hyperparameters as constants at the top of each train
+script (SURVEY.md §2.10 [R-med]); the rebuild centralizes them here
+(SURVEY.md §5 config table). The named presets are the five benchmark
+configs from BASELINE.json:6-12.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from indirect_learning_pose_shape_tpu.data.synthetic import SyntheticConfig
+from indirect_learning_pose_shape_tpu.models.encoder import EncoderConfig
+from indirect_learning_pose_shape_tpu.models.ief import IEFConfig
+from indirect_learning_pose_shape_tpu.models.network import ModelConfig
+from indirect_learning_pose_shape_tpu.ops.raster import RasterConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model: ModelConfig = ModelConfig()
+    synthetic: SyntheticConfig = SyntheticConfig()
+    batch_size: int = 32
+    learning_rate: float = 1e-4
+    num_steps: int = 1000
+    seed: int = 0
+    # Loss weights (SURVEY.md §2.7): render loss + keypoint loss + priors.
+    loss_weights: tuple = (
+        ("sil_bce", 1.0),
+        ("sil_iou", 1.0),
+        ("part_ce", 1.0),
+        ("kp", 5.0),
+        ("shape_reg", 1e-3),
+        ("pose_reg", 1e-3),
+    )
+    # Data parallelism (BASELINE.json:11): number of mesh devices; None = all.
+    num_devices: int | None = None
+    # Checkpointing (SURVEY.md §5): every N steps; 0 disables.
+    checkpoint_every: int = 0
+    checkpoint_dir: str = "/tmp/ilps_ckpt"
+    metrics_path: str | None = None  # JSONL per-step scalars
+
+    @property
+    def loss_weight_dict(self) -> dict[str, float]:
+        return dict(self.loss_weights)
+
+
+def _model(image_size: int, depth: int = 18, num_parts: int = 24) -> ModelConfig:
+    return ModelConfig(
+        image_size=image_size,
+        encoder=EncoderConfig(depth=depth),
+        ief=IEFConfig(),
+        raster=RasterConfig(image_size=image_size, num_parts=num_parts),
+    )
+
+
+# --- The five BASELINE configs (BASELINE.json:6-12) -------------------------
+
+# Config 1: single 256² crop, encoder → SMPL params → LBS forward, batch 1
+# (correctness + latency floor; runs on CPU).
+CONFIG1_SINGLE = TrainConfig(model=_model(256), batch_size=1, num_steps=1)
+
+# Config 2: batched SMPL forward + weak-perspective projection, batch 64.
+CONFIG2_SMPL_BATCH = TrainConfig(model=_model(256), batch_size=64)
+
+# Config 3: differentiable silhouette rendering at 256² with IoU/BCE, batch 32.
+CONFIG3_RENDER = TrainConfig(
+    model=_model(256),
+    batch_size=32,
+    loss_weights=(("sil_bce", 1.0), ("sil_iou", 1.0)),
+)
+
+# Config 4: full indirect train step on synthetic SMPL renders (the minimum
+# end-to-end slice, SURVEY.md §7 step 6).
+CONFIG4_FULL = TrainConfig(model=_model(256), batch_size=32)
+
+# Config 5: data-parallel training on a mesh with on-device preprocessing +
+# target-silhouette generation.
+CONFIG5_DATA_PARALLEL = TrainConfig(model=_model(256), batch_size=64, num_devices=None)
+
+PRESETS = {
+    "config1_single": CONFIG1_SINGLE,
+    "config2_smpl_batch": CONFIG2_SMPL_BATCH,
+    "config3_render": CONFIG3_RENDER,
+    "config4_full": CONFIG4_FULL,
+    "config5_data_parallel": CONFIG5_DATA_PARALLEL,
+}

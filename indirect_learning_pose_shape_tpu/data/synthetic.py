@@ -1,0 +1,109 @@
+"""On-device synthetic training data (SURVEY.md §4.3, BASELINE.json:10).
+
+Self-supervised fixture: sample ground-truth Θ = (θ, β, cam), run our own
+SMPL + renderer to produce the target silhouette / body-part map and 2D
+keypoints, and synthesize an input image from the part map (each part gets a
+fixed color, plus lighting-ish noise). Everything is a pure jittable
+function of a PRNG key — no disk, no host loop — which is exactly the
+"on-device preprocessing + target-silhouette generation" required by
+BASELINE.json:11, and it gives integration tests a train-to-recover-Θ task
+with a known answer (no external dataset needed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from indirect_learning_pose_shape_tpu.models import network as net
+from indirect_learning_pose_shape_tpu.models import smpl as smpl_mod
+from indirect_learning_pose_shape_tpu.ops import camera, raster
+
+
+@dataclasses.dataclass(frozen=True)
+class SyntheticConfig:
+    pose_std: float = 0.25  # axis-angle std for body joints
+    global_std: float = 0.15  # std for global orientation
+    shape_std: float = 1.0
+    cam_scale_range: tuple = (0.7, 1.1)
+    cam_trans_std: float = 0.08
+    image_noise: float = 0.05
+    kp_visibility: float = 0.9  # fraction of keypoints marked visible
+
+
+def sample_theta(key, batch: int, consts: net.ModelConsts, cfg: SyntheticConfig):
+    """Sample ground-truth (pose [B,72], betas [B,10], cam [B,3])."""
+    kp, kg, kb, ks, kt = jax.random.split(key, 5)
+    J = consts.smpl.num_joints
+    pose = cfg.pose_std * jax.random.normal(kp, (batch, J * 3))
+    glob = cfg.global_std * jax.random.normal(kg, (batch, 3))
+    pose = pose.at[:, :3].set(glob)
+    betas = cfg.shape_std * jax.random.normal(kb, (batch, consts.smpl.num_betas))
+    lo, hi = cfg.cam_scale_range
+    scale = jax.random.uniform(ks, (batch, 1), minval=lo, maxval=hi)
+    trans = cfg.cam_trans_std * jax.random.normal(kt, (batch, 2))
+    cam = jnp.concatenate([scale, trans], axis=1)
+    return pose, betas, cam
+
+
+def _part_palette(num_channels: int) -> jax.Array:
+    """Fixed, distinct RGB color per channel (0 = background, dark)."""
+    k = jax.random.PRNGKey(1234)
+    colors = jax.random.uniform(k, (num_channels, 3), minval=0.15, maxval=1.0)
+    return colors.at[0].set(jnp.array([0.05, 0.05, 0.08]))
+
+
+def generate_batch(
+    key,
+    batch: int,
+    consts: net.ModelConsts,
+    model_cfg: net.ModelConfig,
+    cfg: SyntheticConfig = SyntheticConfig(),
+) -> dict[str, jax.Array]:
+    """One fully on-device batch: images + render/keypoint targets + gt Θ.
+
+    Returns dict:
+      image       [B, S, S, 3] float32 in [-1, 1]
+      silhouette  [B, S, S]    float32 target silhouette
+      part_labels [B, S, S]    int32 target class map (0 = bg)
+      kp2d        [B, 19, 2]   pixel keypoints
+      kp_vis      [B, 19]      visibility mask
+      gt_pose / gt_betas / gt_cam — for recovery-error metrics only.
+    """
+    k_theta, k_noise, k_vis = jax.random.split(key, 3)
+    size = model_cfg.image_size
+    pose, betas, cam = sample_theta(k_theta, batch, consts, cfg)
+
+    smpl_out = smpl_mod.smpl_forward(consts.smpl, pose, betas, impl=model_cfg.smpl_impl)
+    verts2d = camera.project_pixel(smpl_out["verts"], cam, size)
+    rendered = raster.soft_rasterize(
+        verts2d, consts.part_layout, model_cfg.raster, impl=model_cfg.raster_impl
+    )
+    kp2d = camera.project_pixel(smpl_out["kp3d"], cam, size)
+
+    probs = rendered["probs"]  # [B, S, S, C+1]
+    part_labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    # Binarised silhouette target (what a dataset mask would look like).
+    silhouette = (rendered["silhouette"] > 0.5).astype(jnp.float32)
+
+    palette = _part_palette(probs.shape[-1])
+    image = jnp.einsum("bhwc,cd->bhwd", probs, palette)
+    image = image + cfg.image_noise * jax.random.normal(k_noise, image.shape)
+    image = jnp.clip(image, 0.0, 1.0) * 2.0 - 1.0
+
+    kp_vis = (
+        jax.random.uniform(k_vis, kp2d.shape[:2]) < cfg.kp_visibility
+    ).astype(jnp.float32)
+
+    return {
+        "image": image.astype(jnp.float32),
+        "silhouette": silhouette,
+        "part_labels": part_labels,
+        "kp2d": kp2d,
+        "kp_vis": kp_vis,
+        "gt_pose": pose,
+        "gt_betas": betas,
+        "gt_cam": cam,
+    }

@@ -1,0 +1,190 @@
+"""CNN image encoder (SURVEY.md §2.4): functional ResNet in plain pytrees.
+
+The reference uses a Keras ResNet-style conv stack ([R-low] on the exact
+backbone; SURVEY.md §0.1 item 4). The rebuild provides ResNet-18 and
+ResNet-50 as pure functions over explicit parameter/state pytrees — no layer
+objects — so the whole network jits, vmaps, shards, and checkpoints as data.
+
+TPU-first choices:
+- NHWC layout throughout (XLA:TPU's native conv layout).
+- Optional bfloat16 compute: weights/activations cast to bf16 inside the
+  conv stack (MXU native dtype), batch-norm statistics and parameter storage
+  stay float32. Controlled by `compute_dtype`.
+- BatchNorm is per-device (local batch stats) in training, running stats at
+  eval — the standard data-parallel recipe; stats live in an explicit
+  `state` pytree threaded through the step (no mutation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    depth: int = 18  # 18 or 50
+    width: int = 64  # stem channels
+    compute_dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.9
+    bn_eps: float = 1e-5
+
+    @property
+    def feature_dim(self) -> int:
+        return self.width * 8 * (4 if self.depth >= 50 else 1)
+
+
+_STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
+
+
+def _conv_init(key, kh, kw, cin, cout):
+    fan_in = kh * kw * cin
+    std = math.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * std
+
+
+def _bn_init(c):
+    return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _bn_state_init(c):
+    return {"mean": jnp.zeros((c,), jnp.float32), "var": jnp.ones((c,), jnp.float32)}
+
+
+def _conv(x, w, stride=1):
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _batch_norm(x, p, s, train: bool, momentum: float, eps: float):
+    """Returns (y, new_state). Stats computed/stored in f32."""
+    if train:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        var = jnp.var(x32, axis=(0, 1, 2))
+        new_s = {
+            "mean": momentum * s["mean"] + (1 - momentum) * mean,
+            "var": momentum * s["var"] + (1 - momentum) * var,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = jax.lax.rsqrt(var + eps) * p["scale"]
+    y = (x.astype(jnp.float32) - mean) * inv + p["bias"]
+    return y.astype(x.dtype), new_s
+
+
+def _block_init(key, cin, cout, bottleneck: bool, stride: int):
+    ks = jax.random.split(key, 4)
+    if bottleneck:
+        mid = cout // 4
+        p = {
+            "conv1": _conv_init(ks[0], 1, 1, cin, mid),
+            "bn1": _bn_init(mid),
+            "conv2": _conv_init(ks[1], 3, 3, mid, mid),
+            "bn2": _bn_init(mid),
+            "conv3": _conv_init(ks[2], 1, 1, mid, cout),
+            "bn3": _bn_init(cout),
+        }
+        s = {"bn1": _bn_state_init(mid), "bn2": _bn_state_init(mid), "bn3": _bn_state_init(cout)}
+    else:
+        p = {
+            "conv1": _conv_init(ks[0], 3, 3, cin, cout),
+            "bn1": _bn_init(cout),
+            "conv2": _conv_init(ks[1], 3, 3, cout, cout),
+            "bn2": _bn_init(cout),
+        }
+        s = {"bn1": _bn_state_init(cout), "bn2": _bn_state_init(cout)}
+    if stride != 1 or cin != cout:
+        p["proj"] = _conv_init(ks[3], 1, 1, cin, cout)
+        p["bn_proj"] = _bn_init(cout)
+        s["bn_proj"] = _bn_state_init(cout)
+    return p, s
+
+
+def _block_apply(x, p, s, cfg: EncoderConfig, stride: int, train: bool):
+    bottleneck = "conv3" in p
+    new_s = {}
+    shortcut = x
+    if "proj" in p:
+        shortcut = _conv(x, p["proj"], stride)
+        shortcut, new_s["bn_proj"] = _batch_norm(
+            shortcut, p["bn_proj"], s["bn_proj"], train, cfg.bn_momentum, cfg.bn_eps
+        )
+    if bottleneck:
+        y = _conv(x, p["conv1"], 1)
+        y, new_s["bn1"] = _batch_norm(y, p["bn1"], s["bn1"], train, cfg.bn_momentum, cfg.bn_eps)
+        y = jax.nn.relu(y)
+        y = _conv(y, p["conv2"], stride)
+        y, new_s["bn2"] = _batch_norm(y, p["bn2"], s["bn2"], train, cfg.bn_momentum, cfg.bn_eps)
+        y = jax.nn.relu(y)
+        y = _conv(y, p["conv3"], 1)
+        y, new_s["bn3"] = _batch_norm(y, p["bn3"], s["bn3"], train, cfg.bn_momentum, cfg.bn_eps)
+    else:
+        y = _conv(x, p["conv1"], stride)
+        y, new_s["bn1"] = _batch_norm(y, p["bn1"], s["bn1"], train, cfg.bn_momentum, cfg.bn_eps)
+        y = jax.nn.relu(y)
+        y = _conv(y, p["conv2"], 1)
+        y, new_s["bn2"] = _batch_norm(y, p["bn2"], s["bn2"], train, cfg.bn_momentum, cfg.bn_eps)
+    return jax.nn.relu(y + shortcut), new_s
+
+
+def encoder_init(key, cfg: EncoderConfig) -> tuple[dict, dict]:
+    """Returns (params, state) pytrees for the full encoder."""
+    if cfg.depth not in _STAGE_BLOCKS:
+        raise ValueError(f"unsupported depth {cfg.depth}")
+    blocks = _STAGE_BLOCKS[cfg.depth]
+    bottleneck = cfg.depth >= 50
+    expansion = 4 if bottleneck else 1
+    keys = jax.random.split(key, 2 + sum(blocks))
+
+    params = {"stem": _conv_init(keys[0], 7, 7, 3, cfg.width), "bn_stem": _bn_init(cfg.width)}
+    state = {"bn_stem": _bn_state_init(cfg.width)}
+
+    cin = cfg.width
+    ki = 1
+    for stage, n in enumerate(blocks):
+        cout = cfg.width * (2**stage) * expansion
+        for b in range(n):
+            stride = 2 if (b == 0 and stage > 0) else 1
+            p, s = _block_init(keys[ki], cin, cout, bottleneck, stride)
+            params[f"s{stage}b{b}"] = p
+            state[f"s{stage}b{b}"] = s
+            cin = cout
+            ki += 1
+    return params, state
+
+
+def encoder_apply(
+    params: dict, state: dict, images: jax.Array, cfg: EncoderConfig, train: bool
+) -> tuple[jax.Array, dict]:
+    """images [B, H, W, 3] float32 in [-1, 1] -> (features [B, D], new_state)."""
+    blocks = _STAGE_BLOCKS[cfg.depth]
+    x = images.astype(cfg.compute_dtype)
+    new_state = {}
+    x = _conv(x, params["stem"], stride=2)
+    x, new_state["bn_stem"] = _batch_norm(
+        x, params["bn_stem"], state["bn_stem"], train, cfg.bn_momentum, cfg.bn_eps
+    )
+    x = jax.nn.relu(x)
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
+    )
+    for stage, n in enumerate(blocks):
+        for b in range(n):
+            stride = 2 if (b == 0 and stage > 0) else 1
+            name = f"s{stage}b{b}"
+            x, new_state[name] = _block_apply(
+                x, params[name], state[name], cfg, stride, train
+            )
+    feat = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # global average pool
+    return feat, new_state

@@ -1,0 +1,113 @@
+"""Full network assembly (SURVEY.md §2.6): encoder → IEF → SMPL → projection
+→ soft rasterizer, as one pure function.
+
+`forward` is the inference path (images → params/verts/joints/kp2d) — the
+metric path for images/sec/chip (BASELINE.json:2). `forward_train`
+additionally renders the segmentation map for the indirect render loss; the
+rasterizer is training-only supervision machinery (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indirect_learning_pose_shape_tpu.models import encoder as enc
+from indirect_learning_pose_shape_tpu.models import ief as ief_mod
+from indirect_learning_pose_shape_tpu.models import smpl as smpl_mod
+from indirect_learning_pose_shape_tpu.ops import camera, raster
+from indirect_learning_pose_shape_tpu.utils.assets import SMPLAsset
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    image_size: int = 256
+    encoder: enc.EncoderConfig = enc.EncoderConfig()
+    ief: ief_mod.IEFConfig = ief_mod.IEFConfig()
+    raster: raster.RasterConfig = raster.RasterConfig()
+    smpl_impl: str = "xla"  # 'xla' | 'pallas'
+    raster_impl: str = "xla"  # 'xla' | 'pallas'
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass, data_fields=["smpl", "part_layout"], meta_fields=[]
+)
+@dataclasses.dataclass(frozen=True)
+class ModelConsts:
+    """Non-trainable constants: SMPL tensors + class-sorted part layout."""
+
+    smpl: smpl_mod.SMPLConsts
+    part_layout: raster.PartLayout
+
+
+def build_consts(asset: SMPLAsset, cfg: ModelConfig) -> ModelConsts:
+    return ModelConsts(
+        smpl=smpl_mod.smpl_consts(asset),
+        part_layout=raster.build_part_layout(
+            np.minimum(asset.part_labels(), cfg.raster.num_parts - 1),
+            cfg.raster.num_parts,
+        ),
+    )
+
+
+def init(key, asset: SMPLAsset, cfg: ModelConfig) -> tuple[dict, dict, ModelConsts]:
+    """Returns (params, state, consts)."""
+    consts = build_consts(asset, cfg)
+    k_enc, k_ief = jax.random.split(key)
+    enc_params, enc_state = enc.encoder_init(k_enc, cfg.encoder)
+    mean_theta = smpl_mod.mean_params(consts.smpl, cfg.ief.num_cam)
+    ief_params = ief_mod.ief_init(k_ief, cfg.ief, cfg.encoder.feature_dim, mean_theta)
+    return {"encoder": enc_params, "ief": ief_params}, {"encoder": enc_state}, consts
+
+
+def forward(
+    params: dict,
+    state: dict,
+    consts: ModelConsts,
+    images: jax.Array,
+    cfg: ModelConfig,
+    train: bool = False,
+) -> tuple[dict, dict]:
+    """Inference path. images [B, H, W, 3] -> outputs dict, new_state."""
+    feat, enc_state = enc.encoder_apply(
+        params["encoder"], state["encoder"], images, cfg.encoder, train
+    )
+    theta = ief_mod.ief_apply(params["ief"], feat, cfg.ief)
+    pose, betas, cam = ief_mod.split_theta(theta, cfg.ief)
+    smpl_out = smpl_mod.smpl_forward(consts.smpl, pose, betas, impl=cfg.smpl_impl)
+    kp2d = camera.project_pixel(smpl_out["kp3d"], cam, cfg.image_size)
+    outputs = {
+        "theta": theta,
+        "pose": pose,
+        "betas": betas,
+        "cam": cam,
+        "verts": smpl_out["verts"],
+        "joints": smpl_out["joints"],
+        "kp3d": smpl_out["kp3d"],
+        "kp2d": kp2d,
+    }
+    return outputs, {"encoder": enc_state}
+
+
+def forward_train(
+    params: dict,
+    state: dict,
+    consts: ModelConsts,
+    images: jax.Array,
+    cfg: ModelConfig,
+) -> tuple[dict, dict]:
+    """Training path: inference outputs + rendered soft seg map."""
+    outputs, new_state = forward(params, state, consts, images, cfg, train=True)
+    verts2d = camera.project_pixel(outputs["verts"], outputs["cam"], cfg.image_size)
+    rendered = raster.soft_rasterize(
+        verts2d, consts.part_layout, cfg.raster, impl=cfg.raster_impl
+    )
+    outputs["verts2d"] = verts2d
+    outputs["silhouette"] = rendered["silhouette"]
+    outputs["probs"] = rendered["probs"]
+    return outputs, new_state

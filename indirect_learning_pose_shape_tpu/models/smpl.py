@@ -25,6 +25,7 @@ uses the taylor-safe `angle ≥ eps` guard so zero pose is exactly identity.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -39,9 +40,25 @@ from indirect_learning_pose_shape_tpu.utils.assets import SMPLAsset
 _HI = jax.lax.Precision.HIGHEST
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "v_template",
+        "shapedirs_flat",
+        "posedirs_flat",
+        "J_regressor",
+        "cocoplus_regressor",
+        "weights",
+    ],
+    meta_fields=["parents"],
+)
 @dataclasses.dataclass(frozen=True)
 class SMPLConsts:
-    """SMPL asset tensors as device arrays, pre-laid-out for the hot path."""
+    """SMPL asset tensors as device arrays, pre-laid-out for the hot path.
+
+    Registered as a pytree (parents is static metadata) so it can be passed
+    through jit/sharding APIs directly.
+    """
 
     v_template: jax.Array  # [V, 3]
     shapedirs_flat: jax.Array  # [num_betas, V*3]   (transposed for β @ S)

@@ -4,34 +4,45 @@ TPU-native design rationale (this is a re-design, not a port):
 
 The reference splats vertices into the image — a scatter. XLA scatters are
 slow on TPU and their gradients are worse (SURVEY.md §7 step 4), so the
-rebuild inverts the loop into a per-pixel *gather* and then restructures the
-math so both heavy steps are matmul-shaped and land on the MXU:
+rebuild inverts the loop into a per-pixel *gather*:
 
-    d2[p, v]   = |p|² + |v|² − 2·(p·v)        cross term: [P,2]x[2,V] matmul
-    E[p, v]    = exp(−d2 / 2σ²)               VPU elementwise (fusable)
-    score[p,c] = E @ onehot(part)[v, c]        [P,V]x[V,C] MXU matmul
+    d2[p, v]   = ||pixel_p − vert2d_v||²
+    E[p, v]    = exp(−d2 / 2σ²)
+    score[p,c] = Σ_{v: part(v)=c} E[p, v]
     probs      = (γ, score) / (γ + Σ_c score)  soft normalization, channel 0=bg
     silhouette = 1 − probs[..., 0]
 
 The sum-of-Gaussians aggregation (lineage: SoftRas, PAPERS.md) is smooth
 everywhere, so gradients flow from every pixel to every nearby vertex — the
-indirect-supervision channel — and the backward pass has the same
-matmul-shaped structure with pixel/vertex roles swapped (exploited by the
-Pallas kernel's custom VJP in ops/kernels/raster_pallas.py).
+indirect-supervision channel — and the backward pass has the same structure
+with pixel/vertex roles swapped.
 
-The pure-XLA path below streams over pixel chunks (a `lax.map` with
-rematerialization) so the [P, V] Gaussian matrix is never resident in HBM:
-peak memory is O(B · chunk · V) regardless of image size. `impl='pallas'`
-routes to the flash-attention-style tiled kernel with identical numerics.
+Evaluation order (the part that makes it fast on TPU):
+
+- The per-class reduction is NOT an `E @ onehot` matmul — that costs
+  P·V·C MXU flops, 24x redundant for a one-hot matrix. Instead vertices are
+  **statically permuted so each part is a contiguous segment padded to S**
+  (`PartLayout`); the class score is then a fused exp→segment-sum reduce
+  over a [B, pc, C, S] view that XLA never materializes. Pure VPU, zero
+  redundancy, layout computed once at model build.
+- Padding slots point at a far-away sentinel so exp underflows to exactly 0
+  — padding is mathematically invisible.
+- Pixels are streamed in chunks (`lax.map` + remat) so peak memory is
+  O(B · chunk · C · S) regardless of image size.
+- `impl='pallas'` routes to the tiled Pallas kernel (same math; see
+  ops/kernels/raster_pallas.py) with distance-based block culling.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_SENTINEL = 1.0e6  # padded verts live here: exp(-d²/2σ²) underflows to 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,15 +51,56 @@ class RasterConfig:
     num_parts: int = 24  # foreground classes (channel 0 of probs is bg)
     sigma: float = 2.0  # Gaussian falloff in pixels
     bg_gamma: float = 1.0  # background strength in the soft normalization
-    pixel_chunk: int = 1024  # pixels per streamed chunk (memory knob)
+    pixel_chunk: int = 4096  # pixels per streamed chunk (memory knob)
 
 
-def part_onehot(part_labels: np.ndarray, num_parts: int) -> np.ndarray:
-    """[V] int labels -> [V, num_parts] float32 one-hot (static const)."""
-    v = part_labels.shape[0]
-    m = np.zeros((v, num_parts), dtype=np.float32)
-    m[np.arange(v), part_labels] = 1.0
-    return m
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["perm", "valid"],
+    meta_fields=["num_parts", "seg_size"],
+)
+@dataclasses.dataclass(frozen=True)
+class PartLayout:
+    """Static class-sorted vertex layout.
+
+    perm  [C*S] int32: vertex index feeding slot i (padding repeats index 0),
+    valid [C*S] float32: 1 for real slots, 0 for padding,
+    seg_size S: per-class segment length (padded, lane-aligned).
+    """
+
+    perm: jax.Array
+    valid: jax.Array
+    num_parts: int
+    seg_size: int
+
+
+def build_part_layout(
+    part_labels: np.ndarray, num_parts: int, lane: int = 128
+) -> PartLayout:
+    """Group vertex indices by part label into equal padded segments."""
+    labels = np.asarray(part_labels)
+    counts = np.bincount(labels, minlength=num_parts)
+    if labels.max() >= num_parts:
+        raise ValueError(f"label {labels.max()} >= num_parts {num_parts}")
+    seg = int(max(lane, -(-int(counts.max()) // lane) * lane))
+    perm = np.zeros((num_parts, seg), dtype=np.int32)
+    valid = np.zeros((num_parts, seg), dtype=np.float32)
+    for c in range(num_parts):
+        idx = np.nonzero(labels == c)[0]
+        perm[c, : len(idx)] = idx
+        valid[c, : len(idx)] = 1.0
+    return PartLayout(
+        perm=jnp.asarray(perm.reshape(-1)),
+        valid=jnp.asarray(valid.reshape(-1)),
+        num_parts=num_parts,
+        seg_size=seg,
+    )
+
+
+def gather_class_sorted(verts2d: jax.Array, layout: PartLayout) -> jax.Array:
+    """[B, V, 2] -> [B, C*S, 2] class-sorted with sentinel padding."""
+    g = jnp.take(verts2d, layout.perm, axis=1)
+    return jnp.where(layout.valid[None, :, None] > 0, g, _SENTINEL)
 
 
 def pixel_grid(image_size: int, dtype=jnp.float32) -> jax.Array:
@@ -67,7 +119,7 @@ def _chunk_size(total: int, requested: int) -> int:
 
 def raster_scores(
     verts2d: jax.Array,
-    onehot: jax.Array,
+    layout: PartLayout,
     cfg: RasterConfig,
     impl: str = "xla",
 ) -> jax.Array:
@@ -77,37 +129,34 @@ def raster_scores(
             raster_scores_pallas,
         )
 
-        return raster_scores_pallas(verts2d, onehot, cfg)
+        return raster_scores_pallas(verts2d, layout, cfg)
 
     size = cfg.image_size
     P = size * size
+    B = verts2d.shape[0]
+    C, S = layout.num_parts, layout.seg_size
     pc = _chunk_size(P, cfg.pixel_chunk)
     pix = pixel_grid(size, verts2d.dtype).reshape(P // pc, pc, 2)
     inv_two_sigma2 = 1.0 / (2.0 * cfg.sigma * cfg.sigma)
 
+    vx = gather_class_sorted(verts2d, layout)  # [B, C*S, 2], once per call
+
     @jax.checkpoint
     def chunk_fn(pix_chunk):  # [pc, 2] -> [B, pc, C]
-        # [B, pc, V] squared distances via broadcast; XLA fuses the subtract/
-        # square/sum with the exp, and the class reduction is an MXU matmul.
-        d2 = jnp.sum(
-            (pix_chunk[None, :, None, :] - verts2d[:, None, :, :]) ** 2, axis=-1
-        )
-        e = jnp.exp(-d2 * inv_two_sigma2)
-        return jnp.einsum(
-            "bpv,vc->bpc",
-            e,
-            onehot,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        # d²→exp→segment-sum fuses into one VPU reduction; the [B,pc,C*S]
+        # intermediate is never materialized in HBM.
+        dx = pix_chunk[None, :, None, 0] - vx[:, None, :, 0]
+        dy = pix_chunk[None, :, None, 1] - vx[:, None, :, 1]
+        e = jnp.exp(-(dx * dx + dy * dy) * inv_two_sigma2)
+        return e.reshape(B, pc, C, S).sum(axis=-1)
 
     score = jax.lax.map(chunk_fn, pix)  # [nc, B, pc, C]
-    return jnp.moveaxis(score, 0, 1).reshape(verts2d.shape[0], P, onehot.shape[1])
+    return jnp.moveaxis(score, 0, 1).reshape(B, P, C)
 
 
 def soft_rasterize(
     verts2d: jax.Array,
-    onehot: jax.Array,
+    layout: PartLayout,
     cfg: RasterConfig,
     impl: str = "xla",
 ) -> dict[str, jax.Array]:
@@ -119,7 +168,7 @@ def soft_rasterize(
     """
     B = verts2d.shape[0]
     size, C = cfg.image_size, cfg.num_parts
-    score = raster_scores(verts2d, onehot, cfg, impl=impl)  # [B, P, C]
+    score = raster_scores(verts2d, layout, cfg, impl=impl)  # [B, P, C]
     s_total = jnp.sum(score, axis=-1, keepdims=True)
     denom = cfg.bg_gamma + s_total
     probs = jnp.concatenate(
@@ -127,3 +176,11 @@ def soft_rasterize(
     ).reshape(B, size, size, C + 1)
     sil = (s_total / denom).reshape(B, size, size)
     return {"probs": probs, "silhouette": sil}
+
+
+def part_onehot(part_labels: np.ndarray, num_parts: int) -> np.ndarray:
+    """[V] int labels -> [V, num_parts] float32 one-hot (oracle/test helper)."""
+    v = part_labels.shape[0]
+    m = np.zeros((v, num_parts), dtype=np.float32)
+    m[np.arange(v), part_labels] = 1.0
+    return m

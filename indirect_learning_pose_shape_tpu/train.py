@@ -1,0 +1,220 @@
+"""Training loop (SURVEY.md §2.10, §3.1): one jit-compiled train step.
+
+The hot path is a single compiled graph per BASELINE.json:5 — on-device
+synthetic batch generation (targets rendered with our own rasterizer),
+encoder → IEF → SMPL → projection → soft raster → losses → grads → Adam —
+with buffers donated so the optimizer updates in place. Data parallelism is
+sharding-only: batch arrays carry a NamedSharding over the 'data' mesh axis,
+parameters are replicated, XLA inserts the gradient all-reduce
+(parallel/mesh.py).
+
+Usage:
+    python -m indirect_learning_pose_shape_tpu.train --preset config4_full \
+        --steps 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from indirect_learning_pose_shape_tpu import configs, losses
+from indirect_learning_pose_shape_tpu.data import synthetic
+from indirect_learning_pose_shape_tpu.models import network as net
+from indirect_learning_pose_shape_tpu.parallel import mesh as mesh_lib
+from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
+from indirect_learning_pose_shape_tpu.utils.metrics import MetricsWriter
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    model_state: Any
+    opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+
+def make_optimizer(cfg: configs.TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(cfg.learning_rate)
+
+
+def init_state(cfg: configs.TrainConfig, asset=None):
+    """Build (train_state, consts). Pure of global state."""
+    if asset is None:
+        asset = assets_lib.load_asset()
+    key = jax.random.PRNGKey(cfg.seed)
+    k_init, k_run = jax.random.split(key)
+    params, model_state, consts = net.init(k_init, asset, cfg.model)
+    opt_state = make_optimizer(cfg).init(params)
+    ts = TrainState(
+        params=params,
+        model_state=model_state,
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+        rng=k_run,
+    )
+    return ts, consts
+
+
+def loss_and_metrics(params, model_state, consts, batch, cfg: configs.TrainConfig):
+    outputs, new_state = net.forward_train(
+        params, model_state, consts, batch["image"], cfg.model
+    )
+    targets = {
+        "silhouette": batch["silhouette"],
+        "part_labels": batch["part_labels"],
+        "kp2d": batch["kp2d"],
+        "kp_vis": batch["kp_vis"],
+    }
+    total, terms = losses.total_loss(
+        outputs, targets, cfg.loss_weight_dict, cfg.model.image_size
+    )
+    # Recovery diagnostics (synthetic data carries ground truth).
+    if "gt_pose" in batch:
+        terms["pose_err"] = jnp.mean(jnp.abs(outputs["pose"] - batch["gt_pose"]))
+        terms["beta_err"] = jnp.mean(jnp.abs(outputs["betas"] - batch["gt_betas"]))
+    return total, (terms, new_state)
+
+
+def train_step(ts: TrainState, batch, consts, cfg: configs.TrainConfig):
+    """One optimizer step. Jit this (donate ts) — it is the whole hot path."""
+    grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
+    (_, (terms, new_model_state)), grads = grad_fn(
+        ts.params, ts.model_state, consts, batch, cfg
+    )
+    updates, new_opt_state = make_optimizer(cfg).update(grads, ts.opt_state, ts.params)
+    new_params = optax.apply_updates(ts.params, updates)
+    new_ts = TrainState(
+        params=new_params,
+        model_state=new_model_state,
+        opt_state=new_opt_state,
+        step=ts.step + 1,
+        rng=ts.rng,
+    )
+    return new_ts, terms
+
+
+def make_batch(rng, step, batch_size, consts, cfg: configs.TrainConfig):
+    """On-device batch for `step`: key is step-indexed (deterministic resume)."""
+    key = jax.random.fold_in(rng, step)
+    return synthetic.generate_batch(key, batch_size, consts, cfg.model, cfg.synthetic)
+
+
+def compile_train_fns(cfg: configs.TrainConfig, consts, mesh=None):
+    """Returns (gen_fn, step_fn), jitted; sharded over `mesh` when given."""
+    gen = functools.partial(
+        make_batch, batch_size=cfg.batch_size, consts=consts, cfg=cfg
+    )
+    step = functools.partial(train_step, consts=consts, cfg=cfg)
+    if mesh is None:
+        return jax.jit(gen), jax.jit(step, donate_argnums=0)
+    data = mesh_lib.batch_sharding(mesh)
+    repl = mesh_lib.replicated(mesh)
+    # `data` as a prefix pytree: every output leaf is batch-sharded.
+    gen_sharded = jax.jit(gen, in_shardings=(repl, repl), out_shardings=data)
+    step_sharded = jax.jit(step, donate_argnums=0)
+    return gen_sharded, step_sharded
+
+
+def fit(
+    cfg: configs.TrainConfig,
+    asset=None,
+    num_steps: Optional[int] = None,
+    metrics_path: Optional[str] = None,
+):
+    """Full training run. Returns (final_state, last_metrics)."""
+    num_steps = num_steps or cfg.num_steps
+    ts, consts = init_state(cfg, asset)
+
+    mesh = None
+    if cfg.num_devices is None:
+        # Auto: largest device count that divides the global batch.
+        n = len(jax.devices())
+        while n > 1 and cfg.batch_size % n:
+            n -= 1
+        if n > 1:
+            mesh = mesh_lib.make_mesh(n)
+    elif cfg.num_devices > 1:
+        if cfg.batch_size % cfg.num_devices:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"num_devices {cfg.num_devices}"
+            )
+        mesh = mesh_lib.make_mesh(cfg.num_devices)
+    if mesh is not None:
+        ts = mesh_lib.replicate_pytree(ts, mesh)
+        consts = mesh_lib.replicate_pytree(consts, mesh)
+
+    gen_fn, step_fn = compile_train_fns(cfg, consts, mesh)
+
+    ckpt = None
+    if cfg.checkpoint_every:
+        from indirect_learning_pose_shape_tpu.utils.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(cfg.checkpoint_dir)
+
+    writer = MetricsWriter(metrics_path or cfg.metrics_path)
+    terms = {}
+    for i in range(num_steps):
+        batch = gen_fn(ts.rng, ts.step)
+        ts, terms = step_fn(ts, batch)
+        if i % 10 == 0 or i == num_steps - 1:
+            writer.write(i, terms)
+        if ckpt and cfg.checkpoint_every and (i + 1) % cfg.checkpoint_every == 0:
+            ckpt.save(i + 1, dataclasses.asdict(ts))
+    jax.block_until_ready(ts.params)
+    if ckpt:
+        ckpt.close()
+    writer.close()
+    return ts, {k: float(v) for k, v in terms.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", default="config4_full", choices=sorted(configs.PRESETS))
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--image-size", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--metrics", default=None, help="JSONL metrics path")
+    ap.add_argument("--checkpoint-every", type=int, default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    args = ap.parse_args()
+
+    cfg = configs.PRESETS[args.preset]
+    updates = {}
+    if args.batch_size:
+        updates["batch_size"] = args.batch_size
+    if args.lr:
+        updates["learning_rate"] = args.lr
+    if args.checkpoint_every is not None:
+        updates["checkpoint_every"] = args.checkpoint_every
+    if args.checkpoint_dir:
+        updates["checkpoint_dir"] = args.checkpoint_dir
+    if args.image_size:
+        import dataclasses as dc
+
+        updates["model"] = dc.replace(
+            cfg.model,
+            image_size=args.image_size,
+            raster=dc.replace(cfg.model.raster, image_size=args.image_size),
+        )
+    cfg = dataclasses.replace(cfg, **updates)
+
+    t0 = time.time()
+    _, terms = fit(cfg, num_steps=args.steps, metrics_path=args.metrics)
+    dt = time.time() - t0
+    print(f"done in {dt:.1f}s; final: {terms}")
+
+
+if __name__ == "__main__":
+    main()

@@ -6,12 +6,19 @@ process so the v4-8-style data-parallel mesh is testable without TPUs.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Force CPU at the config level too: this machine's sitecustomize registers a
+# TPU plugin and overrides jax_platforms at interpreter start, so the env var
+# alone is not enough. Must happen before any backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

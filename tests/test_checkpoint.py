@@ -1,0 +1,62 @@
+"""Checkpoint/resume roundtrip (SURVEY.md §2.12, §5)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indirect_learning_pose_shape_tpu import train
+from indirect_learning_pose_shape_tpu.utils.checkpoint import Checkpointer
+from tests.test_train import tiny_train_cfg
+
+
+def test_save_restore_roundtrip(tiny_asset, tmp_path):
+    cfg = tiny_train_cfg()
+    ts, consts = train.init_state(cfg, tiny_asset)
+    gen_fn, step_fn = train.compile_train_fns(cfg, consts)
+    for _ in range(2):
+        batch = gen_fn(ts.rng, ts.step)
+        ts, _ = step_fn(ts, batch)
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(2, dataclasses.asdict(ts), wait=True)
+
+    # Restore into an abstract state built from a fresh init.
+    ts2, _ = train.init_state(cfg, tiny_asset)
+    restored = ckpt.restore(dataclasses.asdict(ts2))
+    ckpt.close()
+
+    for a, b in zip(jax.tree.leaves(dataclasses.asdict(ts)), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_stream(tiny_asset, tmp_path):
+    """Training 4 steps straight == training 2, checkpointing, resuming 2."""
+    cfg = tiny_train_cfg()
+
+    def steps(ts, consts, n):
+        gen_fn, step_fn = train.compile_train_fns(cfg, consts)
+        terms = {}
+        for _ in range(n):
+            batch = gen_fn(ts.rng, ts.step)
+            ts, terms = step_fn(ts, batch)
+        return ts, terms
+
+    ts, consts = train.init_state(cfg, tiny_asset)
+    ts4, terms4 = steps(ts, consts, 4)
+
+    ts_a, _ = train.init_state(cfg, tiny_asset)
+    ts2, _ = steps(ts_a, consts, 2)
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(2, dataclasses.asdict(ts2), wait=True)
+    ts_b, _ = train.init_state(cfg, tiny_asset)
+    restored = ckpt.restore(dataclasses.asdict(ts_b))
+    ckpt.close()
+    ts_resumed = train.TrainState(**restored)
+    ts4_resumed, terms4_resumed = steps(ts_resumed, consts, 2)
+
+    np.testing.assert_allclose(
+        float(terms4["total"]), float(terms4_resumed["total"]), rtol=1e-5
+    )
+    assert int(ts4.step) == int(ts4_resumed.step) == 4

@@ -19,17 +19,17 @@ def test_project_matches_oracle(rng):
 def _setup(rng, batch=2, num_verts=40, size=32, num_parts=5):
     verts2d = (rng.rand(batch, num_verts, 2) * size).astype(np.float32)
     labels = rng.randint(0, num_parts, size=num_verts)
-    onehot = raster.part_onehot(labels, num_parts)
+    layout = raster.build_part_layout(labels, num_parts, lane=16)
     cfg = raster.RasterConfig(
         image_size=size, num_parts=num_parts, sigma=2.0, bg_gamma=1.0, pixel_chunk=128
     )
-    return verts2d, labels, onehot, cfg
+    return verts2d, labels, layout, cfg
 
 
 def test_raster_matches_oracle(rng):
-    verts2d, labels, onehot, cfg = _setup(rng)
+    verts2d, labels, layout, cfg = _setup(rng)
     out = jax.jit(
-        lambda v: raster.soft_rasterize(v, jnp.asarray(onehot), cfg)
+        lambda v: raster.soft_rasterize(v, layout, cfg)
     )(jnp.asarray(verts2d))
     for i in range(verts2d.shape[0]):
         want = oracle.soft_rasterize(
@@ -46,18 +46,18 @@ def test_raster_matches_oracle(rng):
 
 def test_raster_chunking_invariance(rng):
     """Output must not depend on the pixel_chunk memory knob."""
-    verts2d, _, onehot, cfg = _setup(rng)
+    verts2d, _, layout, cfg = _setup(rng)
     import dataclasses
 
-    a = raster.soft_rasterize(jnp.asarray(verts2d), jnp.asarray(onehot), cfg)
+    a = raster.soft_rasterize(jnp.asarray(verts2d), layout, cfg)
     cfg2 = dataclasses.replace(cfg, pixel_chunk=1024)
-    b = raster.soft_rasterize(jnp.asarray(verts2d), jnp.asarray(onehot), cfg2)
+    b = raster.soft_rasterize(jnp.asarray(verts2d), layout, cfg2)
     np.testing.assert_allclose(np.asarray(a["probs"]), np.asarray(b["probs"]), atol=1e-6)
 
 
 def test_raster_probs_normalized(rng):
-    verts2d, _, onehot, cfg = _setup(rng)
-    out = raster.soft_rasterize(jnp.asarray(verts2d), jnp.asarray(onehot), cfg)
+    verts2d, _, layout, cfg = _setup(rng)
+    out = raster.soft_rasterize(jnp.asarray(verts2d), layout, cfg)
     sums = np.asarray(out["probs"]).sum(axis=-1)
     np.testing.assert_allclose(sums, 1.0, atol=1e-5)
 
@@ -68,11 +68,11 @@ def test_raster_gradient_finite_difference(rng):
     The finite difference is computed through the float64 numpy oracle (same
     math, see utils/oracle.py); f32 FD is too noisy for a meaningful check.
     """
-    verts2d, labels, onehot, cfg = _setup(rng, batch=1, num_verts=12, size=16)
+    verts2d, labels, layout, cfg = _setup(rng, batch=1, num_verts=12, size=16)
     target = (rng.rand(1, 16, 16) > 0.5).astype(np.float64)
 
     def loss_jax(v):
-        sil = raster.soft_rasterize(v, jnp.asarray(onehot), cfg)["silhouette"]
+        sil = raster.soft_rasterize(v, layout, cfg)["silhouette"]
         return jnp.mean((sil - target.astype(np.float32)) ** 2)
 
     def loss_np(v):  # float64 oracle version of the same loss
@@ -94,10 +94,10 @@ def test_raster_gradient_finite_difference(rng):
 
 def test_gradient_reaches_every_vertex(rng):
     """Indirect-learning property: every vertex gets signal (SURVEY §3.4)."""
-    verts2d, _, onehot, cfg = _setup(rng, batch=1, size=32)
+    verts2d, _, layout, cfg = _setup(rng, batch=1, size=32)
 
     def loss(v):
-        out = raster.soft_rasterize(v, jnp.asarray(onehot), cfg)
+        out = raster.soft_rasterize(v, layout, cfg)
         return jnp.sum(out["silhouette"])
 
     g = np.asarray(jax.grad(loss)(jnp.asarray(verts2d)))

@@ -1,0 +1,66 @@
+"""Data-parallel mesh tests on 8 fake CPU devices (SURVEY.md §4.4, config 5)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indirect_learning_pose_shape_tpu import train
+from indirect_learning_pose_shape_tpu.parallel import mesh as mesh_lib
+from tests.test_train import tiny_train_cfg
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8, "conftest must provide 8 fake CPU devices"
+
+
+def test_mesh_train_step_runs(tiny_asset):
+    cfg = tiny_train_cfg(batch_size=8)
+    ts, consts = train.init_state(cfg, tiny_asset)
+    mesh = mesh_lib.make_mesh()
+    ts = mesh_lib.replicate_pytree(ts, mesh)
+    consts = mesh_lib.replicate_pytree(consts, mesh)
+    gen_fn, step_fn = train.compile_train_fns(cfg, consts, mesh)
+    batch = gen_fn(ts.rng, ts.step)
+    # Batch leaves must actually be sharded over the data axis.
+    sh = batch["image"].sharding
+    assert sh.is_fully_replicated is False
+    ts, terms = step_fn(ts, batch)
+    assert np.isfinite(float(terms["total"]))
+    # Params stay replicated after the step (grad all-reduce was inserted).
+    leaf = jax.tree.leaves(ts.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_matches_single_device(tiny_asset):
+    """Same seed, same loss on a 1-device and an 8-device mesh (up to f32 reduce order)."""
+    cfg = tiny_train_cfg(batch_size=8)
+
+    def first_loss(mesh):
+        ts, consts = train.init_state(cfg, tiny_asset)
+        if mesh is not None:
+            ts = mesh_lib.replicate_pytree(ts, mesh)
+            consts = mesh_lib.replicate_pytree(consts, mesh)
+        gen_fn, step_fn = train.compile_train_fns(cfg, consts, mesh)
+        batch = gen_fn(ts.rng, ts.step)
+        _, terms = step_fn(ts, batch)
+        return float(terms["total"])
+
+    l1 = first_loss(None)
+    l8 = first_loss(mesh_lib.make_mesh())
+    np.testing.assert_allclose(l1, l8, rtol=1e-3)
+
+
+def test_mesh_scaling_batch_shapes(tiny_asset):
+    """Global batch stays global; per-device shards are batch/num_devices."""
+    cfg = tiny_train_cfg(batch_size=16)
+    ts, consts = train.init_state(cfg, tiny_asset)
+    mesh = mesh_lib.make_mesh(4)
+    ts = mesh_lib.replicate_pytree(ts, mesh)
+    consts = mesh_lib.replicate_pytree(consts, mesh)
+    gen_fn, _ = train.compile_train_fns(cfg, consts, mesh)
+    batch = gen_fn(ts.rng, ts.step)
+    assert batch["image"].shape[0] == 16
+    shard_shapes = {s.data.shape[0] for s in batch["image"].addressable_shards}
+    assert shard_shapes == {4}
