@@ -23,12 +23,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _throughput(device, batch_size: int, steps: int, warmup: int = 2) -> float:
+def _throughput(
+    device, batch_size: int, steps: int, warmup: int = 2, force_xla: bool = False
+) -> float:
     """Train-step throughput (images/sec) for config-4 on `device`."""
     from indirect_learning_pose_shape_tpu import configs, train
     from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
 
     cfg = dataclasses.replace(configs.CONFIG4_FULL, batch_size=batch_size)
+    if force_xla:
+        # Host baseline: 'auto' would pick the TPU Pallas kernels (the
+        # process default backend is the accelerator), which can't lower
+        # for a CPU-placed jit.
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, smpl_impl="xla", raster_impl="xla"),
+        )
     asset = assets_lib.load_asset()
     ts, consts = train.init_state(cfg, asset)
     ts = jax.device_put(ts, device)
@@ -59,7 +69,9 @@ def main():
         cpu = jax.devices("cpu")[0]
         # Identical per-image workload (256², full model); small batch/steps —
         # the host CPU step is orders of magnitude slower.
-        cpu_imgs_per_sec = _throughput(cpu, batch_size=4, steps=1, warmup=1)
+        cpu_imgs_per_sec = _throughput(
+            cpu, batch_size=4, steps=1, warmup=1, force_xla=True
+        )
         vs_baseline = accel_imgs_per_sec / cpu_imgs_per_sec
     except Exception as e:  # CPU backend unavailable: report accel number only
         print(f"cpu baseline unavailable: {e}", file=sys.stderr)

@@ -34,10 +34,14 @@ def part_seg_ce(pred_probs: jax.Array, target_labels: jax.Array) -> jax.Array:
     """Per-pixel categorical CE over C+1 channels (0 = background).
 
     pred_probs [B, H, W, C+1] (normalized), target_labels [B, H, W] int.
+    Uses a dense one-hot mask rather than take_along_axis: the gather's
+    backward is an XLA scatter over the [B,H,W,C+1] map (slow on TPU), while
+    the mask form stays elementwise in both directions.
     """
     logp = jnp.log(jnp.clip(pred_probs, _EPS, 1.0))
-    picked = jnp.take_along_axis(logp, target_labels[..., None], axis=-1)
-    return -jnp.mean(picked)
+    classes = jnp.arange(pred_probs.shape[-1], dtype=target_labels.dtype)
+    mask = (target_labels[..., None] == classes).astype(logp.dtype)
+    return -jnp.sum(mask * logp) / (mask.size // pred_probs.shape[-1])
 
 
 def keypoint_l2(

@@ -30,8 +30,8 @@ class ModelConfig:
     encoder: enc.EncoderConfig = enc.EncoderConfig()
     ief: ief_mod.IEFConfig = ief_mod.IEFConfig()
     raster: raster.RasterConfig = raster.RasterConfig()
-    smpl_impl: str = "xla"  # 'xla' | 'pallas'
-    raster_impl: str = "xla"  # 'xla' | 'pallas'
+    smpl_impl: str = "auto"  # 'xla' | 'pallas' | 'auto' (pallas on TPU)
+    raster_impl: str = "auto"  # 'xla' | 'pallas' | 'auto' (pallas on TPU)
 
 
 @functools.partial(

@@ -49,6 +49,10 @@ _HI = jax.lax.Precision.HIGHEST
         "J_regressor",
         "cocoplus_regressor",
         "weights",
+        "v_template_p",
+        "shapedirs_p",
+        "posedirs_p",
+        "weights_p",
     ],
     meta_fields=["parents"],
 )
@@ -57,7 +61,10 @@ class SMPLConsts:
     """SMPL asset tensors as device arrays, pre-laid-out for the hot path.
 
     Registered as a pytree (parents is static metadata) so it can be passed
-    through jit/sharding APIs directly.
+    through jit/sharding APIs directly. The `_p` fields are planar
+    (channel-major, vertex-minor) copies padded to a 128-multiple vertex
+    count — the layout the fused Pallas LBS kernel tiles over (vertex dim on
+    lanes); the flat fields serve the pure-XLA path.
     """
 
     v_template: jax.Array  # [V, 3]
@@ -66,11 +73,19 @@ class SMPLConsts:
     J_regressor: jax.Array  # [J, V]
     cocoplus_regressor: jax.Array  # [19, V]
     weights: jax.Array  # [V, J]
+    v_template_p: jax.Array  # [3, Vp]
+    shapedirs_p: jax.Array  # [3*Kb_pad, Vp]  rows c*Kb_pad+k (component-grouped)
+    posedirs_p: jax.Array  # [3*Kp_pad, Vp]  rows c*Kp_pad+k
+    weights_p: jax.Array  # [J, Vp]
     parents: tuple  # static python ints, parents[0] == -1
 
     @property
     def num_verts(self) -> int:
         return self.v_template.shape[0]
+
+    @property
+    def num_verts_padded(self) -> int:
+        return self.v_template_p.shape[1]
 
     @property
     def num_joints(self) -> int:
@@ -83,6 +98,23 @@ class SMPLConsts:
 
 def smpl_consts(asset: SMPLAsset, dtype: Any = jnp.float32) -> SMPLConsts:
     v = asset.num_verts
+    vp = -(-v // 128) * 128  # lane-aligned padded vertex count
+
+    def planar(x_vc):  # [V, C] -> [C, Vp]
+        x = np.asarray(x_vc).T
+        out = np.zeros((x.shape[0], vp), x.dtype)
+        out[:, :v] = x
+        return jnp.asarray(out, dtype)
+
+    def planar_dirs(x_v3k):  # [V, 3, K] -> [3*K_pad, Vp], rows c*K_pad+k
+        x = np.asarray(x_v3k)
+        k = x.shape[2]
+        k_pad = -(-k // 8) * 8  # sublane-aligned per-component row groups
+        out = np.zeros((3 * k_pad, vp), x.dtype)
+        for c in range(3):
+            out[c * k_pad : c * k_pad + k, :v] = x[:, c, :].T
+        return jnp.asarray(out, dtype)
+
     return SMPLConsts(
         v_template=jnp.asarray(asset.v_template, dtype),
         shapedirs_flat=jnp.asarray(
@@ -92,6 +124,10 @@ def smpl_consts(asset: SMPLAsset, dtype: Any = jnp.float32) -> SMPLConsts:
         J_regressor=jnp.asarray(asset.J_regressor, dtype),
         cocoplus_regressor=jnp.asarray(asset.cocoplus_regressor, dtype),
         weights=jnp.asarray(asset.weights, dtype),
+        v_template_p=planar(asset.v_template),
+        shapedirs_p=planar_dirs(asset.shapedirs),
+        posedirs_p=planar_dirs(asset.posedirs),
+        weights_p=planar(asset.weights),
         parents=tuple(int(p) for p in asset.parents),
     )
 
@@ -173,18 +209,20 @@ def smpl_forward(
     consts: SMPLConsts,
     pose: jax.Array,
     betas: jax.Array,
-    impl: str = "xla",
+    impl: str = "auto",
 ) -> dict[str, jax.Array]:
     """Batched SMPL forward.
 
     Args:
       pose  [B, J*3] axis-angle per joint (joint 0 = global orientation).
       betas [B, num_betas].
-      impl  'xla' (default) or 'pallas' (fused TPU kernel for the
-            blendshape+LBS hot path; identical numerics per tests).
+      impl  'xla' | 'pallas' (fused TPU kernel for the blendshape+LBS hot
+            path; identical numerics per tests) | 'auto' (pallas on TPU).
 
     Returns dict with verts [B,V,3], joints [B,J,3], kp3d [B,19,3].
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     B = pose.shape[0]
     J = consts.num_joints
     rotmats = batch_rodrigues(pose.reshape(B, J, 3))  # [B, J, 3, 3]

@@ -123,7 +123,12 @@ def raster_scores(
     cfg: RasterConfig,
     impl: str = "xla",
 ) -> jax.Array:
-    """Per-class Gaussian scores. verts2d [B,V,2] (pixels) -> [B, H*W, C]."""
+    """Per-class Gaussian scores. verts2d [B,V,2] (pixels) -> [B, H*W, C].
+
+    impl: 'xla' | 'pallas' | 'auto' (pallas on TPU, xla elsewhere).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from indirect_learning_pose_shape_tpu.ops.kernels.raster_pallas import (
             raster_scores_pallas,
