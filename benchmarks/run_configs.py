@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark harness for the five BASELINE configs (BASELINE.json:6-12).
+
+Prints one JSON line per config. `bench.py` at the repo root is the driver's
+single-number entry point (config 4); this script fills in the full table in
+BASELINE.md. Run on the accelerator (default backend); config 1 additionally
+reports the single-image CPU latency floor.
+
+    python benchmarks/run_configs.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def _timeit(fn, *args, steps=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def _emit(name, value, unit, **extra):
+    print(json.dumps({"config": name, "value": round(value, 3), "unit": unit, **extra}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer timing steps")
+    args = ap.parse_args()
+    steps = 5 if args.quick else 20
+
+    from indirect_learning_pose_shape_tpu import configs, train
+    from indirect_learning_pose_shape_tpu.models import network as net
+    from indirect_learning_pose_shape_tpu.models import smpl as smpl_mod
+    from indirect_learning_pose_shape_tpu.ops import camera, raster
+    from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
+
+    asset = assets_lib.load_asset()
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    # ---- Config 1: single 256² crop forward, batch 1, CPU latency floor ----
+    cfg1 = configs.CONFIG1_SINGLE
+    try:
+        cpu = jax.devices("cpu")[0]
+        m1 = dataclasses.replace(cfg1.model, smpl_impl="xla", raster_impl="xla")
+        ts, consts = train.init_state(dataclasses.replace(cfg1, model=m1), asset)
+        ts = jax.device_put(ts, cpu)
+        consts = jax.device_put(consts, cpu)
+        img = jax.device_put(jnp.zeros((1, 256, 256, 3)), cpu)
+        fwd = jax.jit(
+            lambda p, s, im: net.forward(p, s, consts, im, m1, train=False)[0]["theta"]
+        )
+        dt = _timeit(fwd, ts.params, ts.model_state, img, steps=max(3, steps // 4))
+        _emit("config1_single_cpu", dt * 1e3, "ms/image (CPU latency floor)")
+    except Exception as e:  # pragma: no cover
+        print(f"# config1 cpu failed: {e}", file=sys.stderr)
+
+    # ---- Config 2: batched SMPL forward + projection, batch 64 ----
+    consts2 = smpl_mod.smpl_consts(asset)
+    pose = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (64, 72))
+    betas = jax.random.normal(jax.random.PRNGKey(1), (64, 10))
+    cam = jnp.tile(jnp.array([0.9, 0.0, 0.0]), (64, 1))
+
+    def smpl_proj(p, b):
+        out = smpl_mod.smpl_forward(consts2, p, b)
+        return camera.project_pixel(out["kp3d"], cam, 256)
+
+    dt = _timeit(jax.jit(smpl_proj), pose, betas, steps=steps)
+    _emit("config2_smpl_batch64", 64 / dt, "SMPL fwd images/sec")
+
+    # ---- Config 3: differentiable render 256² + IoU/BCE loss, batch 32 ----
+    from indirect_learning_pose_shape_tpu import losses
+
+    cfg3 = configs.CONFIG3_RENDER
+    consts3 = net.build_consts(asset, cfg3.model)
+    v2d = camera.project_pixel(
+        smpl_mod.smpl_forward(consts3.smpl, pose[:32], betas[:32])["verts"],
+        cam[:32],
+        256,
+    )
+    target = (jax.random.uniform(jax.random.PRNGKey(2), (32, 256, 256)) > 0.5).astype(
+        jnp.float32
+    )
+
+    def render_loss(v):
+        r = raster.soft_rasterize(v, consts3.part_layout, cfg3.model.raster)
+        return losses.silhouette_bce(r["silhouette"], target) + losses.silhouette_iou(
+            r["silhouette"], target
+        )
+
+    dt = _timeit(jax.jit(jax.value_and_grad(render_loss)), v2d, steps=steps)
+    _emit("config3_render_b32", 32 / dt, "render fwd+bwd images/sec")
+
+    # ---- Config 4: full indirect train step (the bench.py headline) ----
+    cfg4 = dataclasses.replace(configs.CONFIG4_FULL, batch_size=32)
+    ts, consts4 = train.init_state(cfg4, asset)
+    gen_fn, step_fn = train.compile_train_fns(cfg4, consts4)
+
+    def one_step(ts):
+        batch = gen_fn(ts.rng, ts.step)
+        ts, terms = step_fn(ts, batch)
+        return ts
+
+    for _ in range(2):
+        ts = one_step(ts)
+    jax.block_until_ready(ts.params)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        ts = one_step(ts)
+    jax.block_until_ready(ts.params)
+    dt = (time.perf_counter() - t0) / steps
+    _emit("config4_full_train_b32", 32 / dt, "train images/sec/chip",
+          steps_per_sec=round(1 / dt, 3))
+
+    # ---- Config 5: data-parallel mesh (all local devices) ----
+    ndev = len(jax.devices())
+    from indirect_learning_pose_shape_tpu.parallel import mesh as mesh_lib
+
+    cfg5 = dataclasses.replace(
+        configs.CONFIG5_DATA_PARALLEL, batch_size=32 * ndev, num_devices=ndev
+    )
+    ts, consts5 = train.init_state(cfg5, asset)
+    if ndev > 1:
+        mesh = mesh_lib.make_mesh(ndev)
+        ts = mesh_lib.replicate_pytree(ts, mesh)
+        consts5 = mesh_lib.replicate_pytree(consts5, mesh)
+        gen_fn, step_fn = train.compile_train_fns(cfg5, consts5, mesh)
+    else:
+        gen_fn, step_fn = train.compile_train_fns(cfg5, consts5)
+    for _ in range(2):
+        batch = gen_fn(ts.rng, ts.step)
+        ts, _ = step_fn(ts, batch)
+    jax.block_until_ready(ts.params)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        batch = gen_fn(ts.rng, ts.step)
+        ts, _ = step_fn(ts, batch)
+    jax.block_until_ready(ts.params)
+    dt = (time.perf_counter() - t0) / steps
+    _emit(
+        "config5_data_parallel",
+        cfg5.batch_size / dt,
+        f"train images/sec over {ndev} device(s)",
+        per_chip=round(cfg5.batch_size / dt / ndev, 3),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Inference / demo entry point (SURVEY.md §2.11, §3.2).
+
+Loads weights (orbax checkpoint, or fresh init for smoke runs), runs the
+flagship forward — preprocess → encoder → IEF → SMPL — on one or more
+images, and writes visualisations: the input with projected keypoints and
+the predicted soft silhouette overlaid (matplotlib), plus the predicted
+mesh as a Wavefront .obj. This doubles as the manual test harness, exactly
+the role the reference's predict/vis scripts played.
+
+Usage:
+    python -m indirect_learning_pose_shape_tpu.predict --demo --out /tmp/vis
+    python -m indirect_learning_pose_shape_tpu.predict \
+        --dataset ds.npz --checkpoint /path/ckpt --out /tmp/vis
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indirect_learning_pose_shape_tpu import configs
+from indirect_learning_pose_shape_tpu.models import network as net
+from indirect_learning_pose_shape_tpu.ops import camera, raster
+from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
+
+
+def load_model(
+    cfg: configs.TrainConfig,
+    checkpoint_dir: Optional[str] = None,
+    asset=None,
+):
+    """Returns (params, state, consts). Restores the latest checkpoint if given."""
+    from indirect_learning_pose_shape_tpu import train
+
+    ts, consts = train.init_state(cfg, asset)
+    if checkpoint_dir:
+        from indirect_learning_pose_shape_tpu.utils.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(checkpoint_dir)
+        restored = ckpt.restore(dataclasses.asdict(ts))
+        ckpt.close()
+        ts = train.TrainState(**restored)
+    return ts.params, ts.model_state, consts
+
+
+def predict(params, state, consts, images, cfg: configs.TrainConfig):
+    """images [B, S, S, 3] in [-1, 1] -> outputs dict (verts, kp2d, theta...)."""
+    fn = jax.jit(
+        lambda p, s, im: net.forward(p, s, consts, im, cfg.model, train=False)[0]
+    )
+    return fn(params, state, images)
+
+
+def render_silhouette(outputs, consts, cfg: configs.TrainConfig):
+    """Soft silhouette for visual overlay from predicted verts + camera."""
+    verts2d = camera.project_pixel(
+        outputs["verts"], outputs["cam"], cfg.model.image_size
+    )
+    return raster.soft_rasterize(verts2d, consts.part_layout, cfg.model.raster)
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Minimal Wavefront OBJ export of the predicted mesh."""
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for tri in faces:
+            f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
+
+
+def save_overlay(path: str, image, silhouette, kp2d) -> None:
+    """Input image + predicted silhouette contour + keypoints -> PNG."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = np.asarray(image)
+    img = (img + 1.0) / 2.0 if img.min() < 0 else img
+    fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+    axes[0].imshow(np.clip(img, 0, 1))
+    axes[0].scatter(kp2d[:, 0], kp2d[:, 1], c="lime", s=12, marker="+")
+    axes[0].set_title("input + predicted 2D keypoints")
+    axes[1].imshow(np.clip(img, 0, 1))
+    axes[1].imshow(np.asarray(silhouette), alpha=0.5, cmap="viridis")
+    axes[1].set_title("predicted soft silhouette")
+    for ax in axes:
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", default="config4_full", choices=sorted(configs.PRESETS))
+    ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    ap.add_argument("--dataset", default=None, help=".npz dataset to read images from")
+    ap.add_argument("--demo", action="store_true", help="use synthetic demo images")
+    ap.add_argument("--num", type=int, default=2, help="images to process")
+    ap.add_argument("--out", default="/tmp/ilps_vis", help="output directory")
+    args = ap.parse_args()
+
+    cfg = configs.PRESETS[args.preset]
+    asset = assets_lib.load_asset()
+    params, state, consts = load_model(cfg, args.checkpoint, asset)
+    size = cfg.model.image_size
+
+    if args.dataset:
+        from indirect_learning_pose_shape_tpu.data import native_preprocess as npp
+        from indirect_learning_pose_shape_tpu.data.dataset import NpzDataset
+
+        ds = NpzDataset(args.dataset, batch_size=args.num)
+        raw = next(ds.batches())
+        bboxes = np.stack([npp.bbox_from_mask(m) for m in raw["masks"]])
+        images = jnp.asarray(
+            npp.crop_resize_normalize(list(raw["images"]), bboxes, size)
+        )
+    else:  # synthetic demo stream (no data needed)
+        from indirect_learning_pose_shape_tpu.data import synthetic
+
+        batch = jax.jit(
+            lambda k: synthetic.generate_batch(k, args.num, consts, cfg.model)
+        )(jax.random.PRNGKey(0))
+        images = batch["image"]
+
+    outputs = predict(params, state, consts, images, cfg)
+    rendered = render_silhouette(outputs, consts, cfg)
+
+    os.makedirs(args.out, exist_ok=True)
+    verts = np.asarray(outputs["verts"])
+    kp2d = np.asarray(outputs["kp2d"])
+    sil = np.asarray(rendered["silhouette"])
+    for i in range(images.shape[0]):
+        save_obj(os.path.join(args.out, f"mesh_{i}.obj"), verts[i], asset.faces)
+        save_overlay(
+            os.path.join(args.out, f"overlay_{i}.png"), images[i], sil[i], kp2d[i]
+        )
+    print(f"wrote {images.shape[0]} overlays + meshes to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,66 @@ def compile_train_fns(cfg: configs.TrainConfig, consts, mesh=None):
     return gen_sharded, step_sharded
 
 
+def preprocess_raw_batch(raw: dict, consts, cfg: configs.TrainConfig) -> dict:
+    """On-device preprocessing of a raw disk batch (SURVEY.md §2.8).
+
+    raw: images [B,Hs,Ws,3] uint8, masks [B,Hs,Ws] int, kp2d [B,K,2] source
+    pixels, kp_vis [B,K]. Crop box derived from the mask, applied to image,
+    mask, and keypoints entirely in-graph (jitted with the train step).
+    """
+    from indirect_learning_pose_shape_tpu.data import preprocess as pp
+
+    size = cfg.model.image_size
+    bboxes = jax.vmap(pp.bbox_from_mask)(raw["masks"])
+    images = pp.normalize(pp.crop_resize(raw["images"], bboxes, size))
+    masks = pp.crop_resize_mask(raw["masks"], bboxes, size)
+    num_classes = cfg.model.raster.num_parts + 1
+    part_labels = jnp.clip(masks.astype(jnp.int32), 0, num_classes - 1)
+    return {
+        "image": images,
+        "silhouette": (masks > 0).astype(jnp.float32),
+        "part_labels": part_labels,
+        "kp2d": pp.transform_keypoints(raw["kp2d"], bboxes, size),
+        "kp_vis": raw["kp_vis"],
+    }
+
+
+def data_train_step(ts: TrainState, raw: dict, consts, cfg: configs.TrainConfig):
+    """Train step over a raw disk batch: on-device preprocess + update."""
+    batch = preprocess_raw_batch(raw, consts, cfg)
+    return train_step(ts, batch, consts, cfg)
+
+
+def fit_dataset(
+    cfg: configs.TrainConfig,
+    dataset,
+    asset=None,
+    num_steps: Optional[int] = None,
+    metrics_path: Optional[str] = None,
+):
+    """Training run over a disk dataset (NpzDataset) with device prefetch."""
+    from indirect_learning_pose_shape_tpu.data.dataset import prefetch_to_device
+
+    num_steps = num_steps or cfg.num_steps
+    ts, consts = init_state(cfg, asset)
+    step_fn = jax.jit(
+        functools.partial(data_train_step, consts=consts, cfg=cfg), donate_argnums=0
+    )
+    start = int(ts.step)
+    batches = prefetch_to_device(dataset.batches(start_step=start), size=2)
+    writer = MetricsWriter(metrics_path or cfg.metrics_path)
+    terms = {}
+    for i in range(num_steps):
+        raw = next(batches)
+        raw = {k: raw[k] for k in ("images", "masks", "kp2d", "kp_vis")}
+        ts, terms = step_fn(ts, raw)
+        if i % 10 == 0 or i == num_steps - 1:
+            writer.write(i, terms)
+    jax.block_until_ready(ts.params)
+    writer.close()
+    return ts, {k: float(v) for k, v in terms.items()}
+
+
 def fit(
     cfg: configs.TrainConfig,
     asset=None,
@@ -186,6 +246,12 @@ def main():
     ap.add_argument("--image-size", type=int, default=None)
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
+    ap.add_argument(
+        "--dataset",
+        default=None,
+        help="train from a .npz dataset on disk (see data/dataset.py) "
+        "instead of the on-device synthetic stream",
+    )
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
     args = ap.parse_args()
@@ -211,7 +277,13 @@ def main():
     cfg = dataclasses.replace(cfg, **updates)
 
     t0 = time.time()
-    _, terms = fit(cfg, num_steps=args.steps, metrics_path=args.metrics)
+    if args.dataset:
+        from indirect_learning_pose_shape_tpu.data.dataset import NpzDataset
+
+        ds = NpzDataset(args.dataset, cfg.batch_size, seed=cfg.seed)
+        _, terms = fit_dataset(cfg, ds, num_steps=args.steps, metrics_path=args.metrics)
+    else:
+        _, terms = fit(cfg, num_steps=args.steps, metrics_path=args.metrics)
     dt = time.time() - t0
     print(f"done in {dt:.1f}s; final: {terms}")
 

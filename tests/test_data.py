@@ -1,0 +1,98 @@
+"""Data pipeline tests: on-device preprocess, disk dataset, prefetch, native
+host preprocessor (SURVEY.md §2.8)."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indirect_learning_pose_shape_tpu.data import dataset as ds_lib
+from indirect_learning_pose_shape_tpu.data import native_preprocess as npp
+from indirect_learning_pose_shape_tpu.data import preprocess as pp
+from indirect_learning_pose_shape_tpu import train
+from tests.test_train import tiny_train_cfg
+
+
+def test_crop_resize_identity(rng):
+    """Full-frame bbox + same out size == identity (up to f32)."""
+    img = rng.randint(0, 255, (1, 32, 32, 3)).astype(np.float32)
+    bbox = np.array([[16.0, 16.0, 32.0]], np.float32)  # continuous centre
+    out = pp.crop_resize(jnp.asarray(img), jnp.asarray(bbox), 32)
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-3)
+
+
+def test_crop_resize_extracts_quadrant(rng):
+    img = np.zeros((1, 64, 64, 3), np.float32)
+    img[0, :32, :32] = 200.0
+    bbox = np.array([[16.0, 16.0, 32.0]], np.float32)  # top-left quadrant
+    out = np.asarray(pp.crop_resize(jnp.asarray(img), jnp.asarray(bbox), 16))
+    assert out.mean() > 190.0
+
+
+def test_keypoints_follow_crop(rng):
+    kp = np.array([[[40.0, 20.0]]], np.float32)  # (x, y) source pixel indices
+    # Crop centred on the point's continuous position (40.5, 20.5).
+    bbox = np.array([[20.5, 40.5, 32.0]], np.float32)
+    out = np.asarray(pp.transform_keypoints(jnp.asarray(kp), jnp.asarray(bbox), 64))
+    np.testing.assert_allclose(out[0, 0], [31.5, 31.5], atol=1e-4)
+
+
+def test_bbox_from_mask():
+    mask = np.zeros((40, 40), np.float32)
+    mask[10:20, 5:15] = 1.0
+    bbox = np.asarray(pp.bbox_from_mask(jnp.asarray(mask), pad=1.0))
+    np.testing.assert_allclose(bbox, [15.0, 10.0, 10.0], atol=1e-4)
+
+
+def test_dataset_roundtrip_and_determinism(tiny_asset, tmp_path):
+    path = str(tmp_path / "ds.npz")
+    ds_lib.make_synthetic_dataset(path, num_examples=8, source_size=48, asset=tiny_asset)
+    ds = ds_lib.NpzDataset(path, batch_size=4, seed=1)
+    assert ds.steps_per_epoch() == 2
+    a = [b["images"].sum() for _, b in zip(range(4), ds.batches())]
+    b = [b["images"].sum() for _, b in zip(range(4), ds.batches())]
+    assert a == b  # deterministic stream
+    # Resume mid-stream: batches(2) continues exactly where step 2 would be.
+    c = [b["images"].sum() for _, b in zip(range(2), ds.batches(start_step=2))]
+    assert c == a[2:]
+
+
+def test_prefetch_to_device(tiny_asset, tmp_path):
+    arrays = ds_lib.make_synthetic_dataset(None, num_examples=4, source_size=48, asset=tiny_asset)
+    ds = ds_lib.NpzDataset(arrays, batch_size=2)
+    batches = list(ds_lib.prefetch_to_device(ds.epoch(0), size=2))
+    assert len(batches) == 2
+    assert isinstance(batches[0]["images"], jax.Array)
+
+
+def test_fit_dataset_runs_and_descends(tiny_asset, tmp_path):
+    cfg = tiny_train_cfg()
+    arrays = ds_lib.make_synthetic_dataset(
+        None, num_examples=16, source_size=48, asset=tiny_asset
+    )
+    ds = ds_lib.NpzDataset(arrays, batch_size=cfg.batch_size)
+    _, terms = train.fit_dataset(cfg, ds, asset=tiny_asset, num_steps=6)
+    assert np.isfinite(terms["total"])
+
+
+def test_native_matches_numpy_fallback(rng):
+    imgs = [rng.randint(0, 255, (70 + 13 * i, 50 + 7 * i, 3)).astype(np.uint8) for i in range(3)]
+    masks = [(rng.rand(*im.shape[:2]) > 0.6).astype(np.uint8) * (i + 1) for i, im in enumerate(imgs)]
+    bboxes = np.stack([npp.bbox_from_mask(m) for m in masks])
+
+    out_imgs = npp.crop_resize_normalize(imgs, bboxes, 32)
+    out_masks = npp.crop_resize_mask(masks, bboxes, 32)
+    # Numpy fallback reference.
+    ref_imgs = np.stack(
+        [npp._np_crop_resize(im, bb, 32) for im, bb in zip(imgs, bboxes)]
+    ).astype(np.float32) / 127.5 - 1.0
+    ref_masks = np.stack(
+        [npp._np_crop_resize(m, bb, 32, nearest=True) for m, bb in zip(masks, bboxes)]
+    )
+    np.testing.assert_allclose(out_imgs, ref_imgs, atol=1e-4)
+    if npp.USE_NATIVE:
+        np.testing.assert_array_equal(out_masks, ref_masks)
+    assert out_imgs.min() >= -1.0 and out_imgs.max() <= 1.0

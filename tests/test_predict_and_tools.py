@@ -1,0 +1,130 @@
+"""Inference entry point + asset conversion tool tests (SURVEY.md §2.9, §2.11)."""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+
+from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
+
+
+def test_predict_demo_end_to_end(tmp_path, monkeypatch):
+    """predict --demo writes overlays and meshes (the manual vis harness)."""
+    out = str(tmp_path / "vis")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SMPL_TINY_TEST"] = "1"
+    # Run in-process with a tiny model config for CPU speed.
+    import dataclasses
+
+    from indirect_learning_pose_shape_tpu import configs, predict
+    from tests.test_network import small_model_cfg
+
+    cfg = dataclasses.replace(configs.CONFIG4_FULL, model=small_model_cfg(48))
+    asset = assets_lib.synthetic_asset(num_verts=864, seed=1)
+    params, state, consts = predict.load_model(cfg, None, asset)
+
+    import jax
+
+    from indirect_learning_pose_shape_tpu.data import synthetic
+
+    batch = jax.jit(lambda k: synthetic.generate_batch(k, 2, consts, cfg.model))(
+        jax.random.PRNGKey(0)
+    )
+    outputs = predict.predict(params, state, consts, batch["image"], cfg)
+    assert outputs["verts"].shape == (2, 864, 3)
+    rendered = predict.render_silhouette(outputs, consts, cfg)
+
+    os.makedirs(out, exist_ok=True)
+    predict.save_obj(
+        os.path.join(out, "m.obj"), np.asarray(outputs["verts"][0]), asset.faces
+    )
+    predict.save_overlay(
+        os.path.join(out, "o.png"),
+        np.asarray(batch["image"][0]),
+        np.asarray(rendered["silhouette"][0]),
+        np.asarray(outputs["kp2d"][0]),
+    )
+    assert os.path.getsize(os.path.join(out, "m.obj")) > 1000
+    assert os.path.getsize(os.path.join(out, "o.png")) > 1000
+
+
+def _fake_chumpy_pkl(path, asset):
+    """Write a pkl mimicking the chumpy-era SMPL format (chumpy Ch objects).
+
+    Registers a fake `chumpy.ch` module so pickle can serialize the class by
+    reference exactly as the real asset does; loading must NOT need it (the
+    unpickler shim replaces it).
+    """
+    import types
+
+    class Ch:  # stand-in for chumpy.Ch: state dict carries 'x'
+        pass
+
+    Ch.__module__ = "chumpy.ch"
+    Ch.__qualname__ = "Ch"
+    chumpy_mod = types.ModuleType("chumpy")
+    ch_mod = types.ModuleType("chumpy.ch")
+    ch_mod.Ch = Ch
+    chumpy_mod.ch = ch_mod
+    sys.modules.setdefault("chumpy", chumpy_mod)
+    sys.modules["chumpy.ch"] = ch_mod
+
+    def ch(arr):
+        o = Ch()
+        o.x = np.asarray(arr, np.float64)
+        return o
+    data = {
+        "v_template": ch(asset.v_template),
+        "shapedirs": ch(asset.shapedirs),
+        "posedirs": np.asarray(asset.posedirs, np.float64),
+        "J_regressor": np.asarray(asset.J_regressor, np.float64),
+        "cocoplus_regressor": np.asarray(asset.cocoplus_regressor, np.float64),
+        "weights": ch(asset.weights),
+        "kintree_table": np.stack(
+            [asset.parents.astype(np.int64), np.arange(asset.num_joints)]
+        ),
+        "f": asset.faces,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+
+
+def test_pkl_roundtrip_with_chumpy_shim(tmp_path):
+    asset = assets_lib.synthetic_asset(num_verts=864, seed=3)
+    pkl = str(tmp_path / "model.pkl")
+    _fake_chumpy_pkl(pkl, asset)
+    loaded = assets_lib.load_pkl(pkl)
+    loaded.validate()
+    np.testing.assert_allclose(loaded.v_template, asset.v_template, atol=1e-6)
+    np.testing.assert_allclose(loaded.weights, asset.weights, atol=1e-6)
+    np.testing.assert_array_equal(loaded.parents, asset.parents)
+
+
+def test_convert_tool_cli(tmp_path):
+    asset = assets_lib.synthetic_asset(num_verts=864, seed=4)
+    pkl = str(tmp_path / "model.pkl")
+    npz = str(tmp_path / "out.npz")
+    _fake_chumpy_pkl(pkl, asset)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    result = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "convert_smpl_pkl.py"), pkl, npz],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        timeout=120,
+    )
+    assert result.returncode == 0, result.stderr
+    loaded = assets_lib.load_npz(npz)
+    np.testing.assert_allclose(loaded.v_template, asset.v_template, atol=1e-6)
+
+
+def test_npz_save_load_roundtrip(tmp_path):
+    asset = assets_lib.synthetic_asset(num_verts=864, seed=5)
+    path = str(tmp_path / "a.npz")
+    assets_lib.save_npz(asset, path)
+    loaded = assets_lib.load_npz(path)
+    for field in ("v_template", "shapedirs", "weights", "parents"):
+        np.testing.assert_array_equal(getattr(loaded, field), getattr(asset, field))
