@@ -24,3 +24,22 @@ def ndc_to_pixel(ndc: jax.Array, image_size: int) -> jax.Array:
 def project_pixel(x3d: jax.Array, cam: jax.Array, image_size: int) -> jax.Array:
     """Weak-perspective projection straight to pixel coordinates."""
     return ndc_to_pixel(project_ndc(x3d, cam), image_size)
+
+
+def perspective_project_pixel(
+    x3d: jax.Array,
+    cam_t: jax.Array,
+    focal: float,
+    image_size: int,
+) -> jax.Array:
+    """Full perspective projection (vis-path counterpart, SURVEY.md §2.2).
+
+    x3d [..., N, 3] camera-frame points, cam_t [..., 3] translation, focal
+    in pixels, principal point at the image centre. The z-guard keeps
+    gradients finite for points that wander behind the camera during
+    optimization.
+    """
+    p = x3d + cam_t[..., None, :]
+    z = jnp.maximum(p[..., 2:3], 1e-3)
+    centre = (image_size - 1) / 2.0
+    return focal * p[..., :2] / z + centre

@@ -121,7 +121,7 @@ def raster_scores(
     verts2d: jax.Array,
     layout: PartLayout,
     cfg: RasterConfig,
-    impl: str = "xla",
+    impl: str = "auto",
 ) -> jax.Array:
     """Per-class Gaussian scores. verts2d [B,V,2] (pixels) -> [B, H*W, C].
 
@@ -163,7 +163,7 @@ def soft_rasterize(
     verts2d: jax.Array,
     layout: PartLayout,
     cfg: RasterConfig,
-    impl: str = "xla",
+    impl: str = "auto",
 ) -> dict[str, jax.Array]:
     """Full soft rasterization.
 

@@ -1,0 +1,76 @@
+"""Eval metrics + numerics-debug utilities tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indirect_learning_pose_shape_tpu import evaluate, train
+from indirect_learning_pose_shape_tpu.ops import camera
+from indirect_learning_pose_shape_tpu.utils import debug
+from tests.test_train import tiny_train_cfg
+
+
+def test_pve_mpjpe_zero_for_identical(rng):
+    x = jnp.asarray(rng.randn(2, 10, 3).astype(np.float32))
+    assert float(evaluate.pve(x, x)) == 0.0
+    assert float(evaluate.mpjpe(x, x)) == 0.0
+
+
+def test_pa_mpjpe_removes_similarity_transform(rng):
+    gt = jnp.asarray(rng.randn(2, 12, 3).astype(np.float32))
+    # Apply a known rotation+scale+translation; PA must undo it.
+    theta = 0.7
+    rot = jnp.array(
+        [
+            [np.cos(theta), -np.sin(theta), 0],
+            [np.sin(theta), np.cos(theta), 0],
+            [0, 0, 1],
+        ],
+        jnp.float32,
+    )
+    pred = 1.7 * jnp.einsum("ij,bnj->bni", rot, gt) + jnp.array([0.3, -0.2, 0.5])
+    raw = float(evaluate.mpjpe(pred, gt))
+    aligned = float(evaluate.pa_mpjpe(pred, gt))
+    assert raw > 0.3 and aligned < 1e-4
+
+
+def test_silhouette_iou_metric():
+    a = jnp.zeros((1, 8, 8)).at[:, :4].set(1.0)
+    assert float(evaluate.silhouette_iou_metric(a, a)) == 1.0
+    b = jnp.zeros((1, 8, 8)).at[:, 2:6].set(1.0)
+    iou = float(evaluate.silhouette_iou_metric(a, b))
+    assert abs(iou - (2 / 6)) < 1e-6
+
+
+def test_evaluate_runs_on_model(tiny_asset):
+    cfg = tiny_train_cfg()
+    ts, consts = train.init_state(cfg, tiny_asset)
+    metrics = evaluate.evaluate(ts.params, ts.model_state, consts, cfg, num_batches=1)
+    for k in ("pve", "mpjpe", "pa_mpjpe", "sil_iou"):
+        assert np.isfinite(metrics[k]), metrics
+
+
+def test_perspective_projection_basic():
+    x3d = jnp.array([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]]])
+    cam_t = jnp.array([[0.0, 0.0, 5.0]])
+    out = np.asarray(camera.perspective_project_pixel(x3d, cam_t, 500.0, 256))
+    np.testing.assert_allclose(out[0, 0], [127.5, 127.5], atol=1e-4)  # centre
+    np.testing.assert_allclose(out[0, 1], [127.5 + 100.0, 127.5], atol=1e-3)
+
+
+def test_debug_checked_raises_on_nan():
+    @debug.checked
+    @jax.jit
+    def bad(x):
+        return jnp.log(x)
+
+    bad(jnp.ones(3))  # fine
+    with pytest.raises(Exception):
+        bad(-jnp.ones(3))  # log of negative -> nan
+
+
+def test_assert_finite():
+    debug.assert_finite({"a": jnp.ones(3)})
+    with pytest.raises(FloatingPointError):
+        debug.assert_finite({"a": jnp.array([1.0, np.nan])})
