@@ -107,3 +107,26 @@ def evaluate(
         for name, v in m.items():
             acc[name] = acc.get(name, 0.0) + float(v) / num_batches
     return acc
+
+
+def main():
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", default="config4_full", choices=sorted(configs.PRESETS))
+    ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    ap.add_argument("--batches", type=int, default=4)
+    args = ap.parse_args()
+
+    from indirect_learning_pose_shape_tpu.predict import load_model
+    from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
+
+    cfg = configs.PRESETS[args.preset]
+    params, state, consts = load_model(cfg, args.checkpoint, assets_lib.load_asset())
+    metrics = evaluate(params, state, consts, cfg, num_batches=args.batches)
+    print(json.dumps({k: round(v, 5) for k, v in metrics.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,7 @@ def build_consts(asset: SMPLAsset, cfg: ModelConfig) -> ModelConsts:
         part_layout=raster.build_part_layout(
             np.minimum(asset.part_labels(), cfg.raster.num_parts - 1),
             cfg.raster.num_parts,
+            positions=asset.v_template,  # static spatial sort -> tighter culling
         ),
     )
 

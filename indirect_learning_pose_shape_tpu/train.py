@@ -252,6 +252,15 @@ def main():
         help="train from a .npz dataset on disk (see data/dataset.py) "
         "instead of the on-device synthetic stream",
     )
+    ap.add_argument(
+        "--profile",
+        default=None,
+        help="capture a jax.profiler trace of the run to this directory "
+        "(view with XProf/Perfetto; SURVEY.md §5 tracing)",
+    )
+    ap.add_argument(
+        "--debug-nans", action="store_true", help="enable jax_debug_nans"
+    )
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
     args = ap.parse_args()
@@ -276,14 +285,27 @@ def main():
         )
     cfg = dataclasses.replace(cfg, **updates)
 
-    t0 = time.time()
-    if args.dataset:
-        from indirect_learning_pose_shape_tpu.data.dataset import NpzDataset
+    if args.debug_nans:
+        from indirect_learning_pose_shape_tpu.utils.debug import enable_nan_checks
 
-        ds = NpzDataset(args.dataset, cfg.batch_size, seed=cfg.seed)
-        _, terms = fit_dataset(cfg, ds, num_steps=args.steps, metrics_path=args.metrics)
-    else:
-        _, terms = fit(cfg, num_steps=args.steps, metrics_path=args.metrics)
+        enable_nan_checks()
+
+    import contextlib
+
+    trace_cm = (
+        jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
+    )
+    t0 = time.time()
+    with trace_cm:
+        if args.dataset:
+            from indirect_learning_pose_shape_tpu.data.dataset import NpzDataset
+
+            ds = NpzDataset(args.dataset, cfg.batch_size, seed=cfg.seed)
+            _, terms = fit_dataset(
+                cfg, ds, num_steps=args.steps, metrics_path=args.metrics
+            )
+        else:
+            _, terms = fit(cfg, num_steps=args.steps, metrics_path=args.metrics)
     dt = time.time() - t0
     print(f"done in {dt:.1f}s; final: {terms}")
 
