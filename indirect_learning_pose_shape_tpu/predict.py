@@ -74,8 +74,8 @@ def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
             f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
 
 
-def save_overlay(path: str, image, silhouette, kp2d) -> None:
-    """Input image + predicted silhouette contour + keypoints -> PNG."""
+def save_overlay(path: str, image, silhouette, kp2d, part_map=None) -> None:
+    """Input + keypoints, soft silhouette, and (optionally) part map -> PNG."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -83,13 +83,17 @@ def save_overlay(path: str, image, silhouette, kp2d) -> None:
 
     img = np.asarray(image)
     img = (img + 1.0) / 2.0 if img.min() < 0 else img
-    fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+    ncols = 3 if part_map is not None else 2
+    fig, axes = plt.subplots(1, ncols, figsize=(4 * ncols, 4))
     axes[0].imshow(np.clip(img, 0, 1))
     axes[0].scatter(kp2d[:, 0], kp2d[:, 1], c="lime", s=12, marker="+")
     axes[0].set_title("input + predicted 2D keypoints")
     axes[1].imshow(np.clip(img, 0, 1))
     axes[1].imshow(np.asarray(silhouette), alpha=0.5, cmap="viridis")
     axes[1].set_title("predicted soft silhouette")
+    if part_map is not None:
+        axes[2].imshow(np.asarray(part_map), cmap="tab20", interpolation="nearest")
+        axes[2].set_title("predicted body-part segmentation")
     for ax in axes:
         ax.axis("off")
     fig.tight_layout()
@@ -137,10 +141,15 @@ def main():
     verts = np.asarray(outputs["verts"])
     kp2d = np.asarray(outputs["kp2d"])
     sil = np.asarray(rendered["silhouette"])
+    parts = np.argmax(np.asarray(rendered["probs"]), axis=-1)
     for i in range(images.shape[0]):
         save_obj(os.path.join(args.out, f"mesh_{i}.obj"), verts[i], asset.faces)
         save_overlay(
-            os.path.join(args.out, f"overlay_{i}.png"), images[i], sil[i], kp2d[i]
+            os.path.join(args.out, f"overlay_{i}.png"),
+            images[i],
+            sil[i],
+            kp2d[i],
+            parts[i],
         )
     print(f"wrote {images.shape[0]} overlays + meshes to {args.out}")
 

@@ -155,6 +155,23 @@ def data_train_step(ts: TrainState, raw: dict, consts, cfg: configs.TrainConfig)
     return train_step(ts, batch, consts, cfg)
 
 
+def _auto_mesh(cfg: configs.TrainConfig):
+    """Mesh selection shared by fit/fit_dataset (None = single device)."""
+    if cfg.num_devices is None:
+        n = len(jax.devices())
+        while n > 1 and cfg.batch_size % n:
+            n -= 1
+        return mesh_lib.make_mesh(n) if n > 1 else None
+    if cfg.num_devices > 1:
+        if cfg.batch_size % cfg.num_devices:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"num_devices {cfg.num_devices}"
+            )
+        return mesh_lib.make_mesh(cfg.num_devices)
+    return None
+
+
 def fit_dataset(
     cfg: configs.TrainConfig,
     dataset,
@@ -162,16 +179,29 @@ def fit_dataset(
     num_steps: Optional[int] = None,
     metrics_path: Optional[str] = None,
 ):
-    """Training run over a disk dataset (NpzDataset) with device prefetch."""
+    """Training run over a disk dataset (NpzDataset) with device prefetch.
+
+    Data-parallel like `fit`: the prefetcher lands each raw host batch
+    already sharded over the mesh's data axis, so the on-device preprocess
+    and the step run sharded with no extra transfers.
+    """
     from indirect_learning_pose_shape_tpu.data.dataset import prefetch_to_device
 
     num_steps = num_steps or cfg.num_steps
     ts, consts = init_state(cfg, asset)
+    mesh = _auto_mesh(cfg)
+    sharding = None
+    if mesh is not None:
+        ts = mesh_lib.replicate_pytree(ts, mesh)
+        consts = mesh_lib.replicate_pytree(consts, mesh)
+        sharding = mesh_lib.batch_sharding(mesh)
     step_fn = jax.jit(
         functools.partial(data_train_step, consts=consts, cfg=cfg), donate_argnums=0
     )
     start = int(ts.step)
-    batches = prefetch_to_device(dataset.batches(start_step=start), size=2)
+    batches = prefetch_to_device(
+        dataset.batches(start_step=start), size=2, sharding=sharding
+    )
     writer = MetricsWriter(metrics_path or cfg.metrics_path)
     terms = {}
     for i in range(num_steps):
@@ -195,21 +225,7 @@ def fit(
     num_steps = num_steps or cfg.num_steps
     ts, consts = init_state(cfg, asset)
 
-    mesh = None
-    if cfg.num_devices is None:
-        # Auto: largest device count that divides the global batch.
-        n = len(jax.devices())
-        while n > 1 and cfg.batch_size % n:
-            n -= 1
-        if n > 1:
-            mesh = mesh_lib.make_mesh(n)
-    elif cfg.num_devices > 1:
-        if cfg.batch_size % cfg.num_devices:
-            raise ValueError(
-                f"batch_size {cfg.batch_size} not divisible by "
-                f"num_devices {cfg.num_devices}"
-            )
-        mesh = mesh_lib.make_mesh(cfg.num_devices)
+    mesh = _auto_mesh(cfg)
     if mesh is not None:
         ts = mesh_lib.replicate_pytree(ts, mesh)
         consts = mesh_lib.replicate_pytree(consts, mesh)

@@ -96,3 +96,30 @@ def test_native_matches_numpy_fallback(rng):
     if npp.USE_NATIVE:
         np.testing.assert_array_equal(out_masks, ref_masks)
     assert out_imgs.min() >= -1.0 and out_imgs.max() <= 1.0
+
+
+def test_fit_dataset_sharded_over_mesh(tiny_asset):
+    """Disk-data path runs data-parallel over the fake 8-device mesh."""
+    cfg = dataclasses.replace(tiny_train_cfg(batch_size=8), num_devices=8)
+    arrays = ds_lib.make_synthetic_dataset(
+        None, num_examples=16, source_size=48, asset=tiny_asset
+    )
+    ds = ds_lib.NpzDataset(arrays, batch_size=cfg.batch_size)
+    _, terms = train.fit_dataset(cfg, ds, asset=tiny_asset, num_steps=3)
+    assert np.isfinite(terms["total"])
+
+
+def test_fit_with_checkpointing(tiny_asset, tmp_path):
+    """fit()'s in-loop orbax checkpointing writes a restorable checkpoint."""
+    cfg = tiny_train_cfg(
+        checkpoint_every=2, checkpoint_dir=str(tmp_path / "ck")
+    )
+    ts, _ = train.fit(cfg, asset=tiny_asset, num_steps=4)
+    from indirect_learning_pose_shape_tpu.utils.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path / "ck"))
+    assert ck.latest_step() == 4
+    ts2, _ = train.init_state(cfg, tiny_asset)
+    restored = ck.restore(dataclasses.asdict(ts2))
+    ck.close()
+    assert int(restored["step"]) == 4
