@@ -65,9 +65,14 @@ def shape_reg(betas: jax.Array) -> jax.Array:
     return jnp.mean(jnp.sum(betas * betas, axis=-1))
 
 
-def pose_reg(pose: jax.Array) -> jax.Array:
-    """L2 prior on body pose (excludes the 3 global-orientation dims)."""
-    return jnp.mean(jnp.sum(pose[..., 3:] * pose[..., 3:], axis=-1))
+def pose_reg(pose_prior: jax.Array) -> jax.Array:
+    """L2 prior on the body-pose deviation vector (global joint excluded).
+
+    For axis-angle this is pose[..., 3:]; for rot6d it is the deviation from
+    the identity encoding — the network provides the right vector as
+    outputs['pose_prior'].
+    """
+    return jnp.mean(jnp.sum(pose_prior * pose_prior, axis=-1))
 
 
 def total_loss(
@@ -99,7 +104,7 @@ def total_loss(
     if weights.get("shape_reg", 0.0):
         terms["shape_reg"] = shape_reg(outputs["betas"])
     if weights.get("pose_reg", 0.0):
-        terms["pose_reg"] = pose_reg(outputs["pose"])
+        terms["pose_reg"] = pose_reg(outputs.get("pose_prior", outputs["pose"]))
 
     total = jnp.asarray(0.0, jnp.float32)
     for name, value in terms.items():

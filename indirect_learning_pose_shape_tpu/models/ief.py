@@ -20,9 +20,16 @@ import jax.numpy as jnp
 class IEFConfig:
     num_iterations: int = 3
     hidden_dims: tuple = (1024, 1024)
-    num_pose: int = 72
+    num_joints: int = 24
     num_betas: int = 10
     num_cam: int = 3
+    # 'axis_angle' (faithful to the reference, 3/joint) or 'rot6d'
+    # (Zhou et al. continuity representation, 6/joint).
+    rotation_format: str = "axis_angle"
+
+    @property
+    def num_pose(self) -> int:
+        return self.num_joints * (6 if self.rotation_format == "rot6d" else 3)
 
     @property
     def theta_dim(self) -> int:

@@ -61,7 +61,9 @@ def init(key, asset: SMPLAsset, cfg: ModelConfig) -> tuple[dict, dict, ModelCons
     consts = build_consts(asset, cfg)
     k_enc, k_ief = jax.random.split(key)
     enc_params, enc_state = enc.encoder_init(k_enc, cfg.encoder)
-    mean_theta = smpl_mod.mean_params(consts.smpl, cfg.ief.num_cam)
+    mean_theta = smpl_mod.mean_params(
+        consts.smpl, cfg.ief.num_cam, cfg.ief.rotation_format
+    )
     ief_params = ief_mod.ief_init(k_ief, cfg.ief, cfg.encoder.feature_dim, mean_theta)
     return {"encoder": enc_params, "ief": ief_params}, {"encoder": enc_state}, consts
 
@@ -80,11 +82,27 @@ def forward(
     )
     theta = ief_mod.ief_apply(params["ief"], feat, cfg.ief)
     pose, betas, cam = ief_mod.split_theta(theta, cfg.ief)
-    smpl_out = smpl_mod.smpl_forward(consts.smpl, pose, betas, impl=cfg.smpl_impl)
+    B = pose.shape[0]
+    J = consts.smpl.num_joints
+    if cfg.ief.rotation_format == "rot6d":
+        rotmats = smpl_mod.rot6d_to_rotmat(pose.reshape(B, J, 6))
+        # Prior pulls toward the identity encoding; global joint excluded.
+        identity6 = jnp.tile(
+            jnp.array([1, 0, 0, 0, 1, 0], pose.dtype), (J,)
+        )
+        pose_prior = (pose - identity6)[:, 6:]
+    else:
+        rotmats = smpl_mod.batch_rodrigues(pose.reshape(B, J, 3))
+        pose_prior = pose[:, 3:]
+    smpl_out = smpl_mod.smpl_forward_rotmats(
+        consts.smpl, rotmats, betas, impl=cfg.smpl_impl
+    )
     kp2d = camera.project_pixel(smpl_out["kp3d"], cam, cfg.image_size)
     outputs = {
         "theta": theta,
         "pose": pose,
+        "pose_prior": pose_prior,
+        "rotmats": rotmats,
         "betas": betas,
         "cam": cam,
         "verts": smpl_out["verts"],

@@ -156,6 +156,23 @@ def batch_rodrigues(axis_angle: jax.Array) -> jax.Array:
     return c * eye + s * K + (1.0 - c) * outer
 
 
+def rot6d_to_rotmat(x: jax.Array) -> jax.Array:
+    """Continuous 6D rotation representation [..., 6] -> [..., 3, 3].
+
+    Gram-Schmidt on the two encoded columns (Zhou et al.'s continuity
+    representation — an alternative to the reference's axis-angle,
+    selectable via IEFConfig.rotation_format). Identity is encoded as
+    (1,0,0, 0,1,0).
+    """
+    a1 = x[..., 0:3]
+    a2 = x[..., 3:6]
+    b1 = a1 / (jnp.linalg.norm(a1, axis=-1, keepdims=True) + 1e-8)
+    a2p = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2p / (jnp.linalg.norm(a2p, axis=-1, keepdims=True) + 1e-8)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-1)  # columns
+
+
 def rigid_transform_chain(
     rotmats: jax.Array, joints_rest: jax.Array, parents: tuple
 ) -> tuple[jax.Array, jax.Array]:
@@ -221,11 +238,26 @@ def smpl_forward(
 
     Returns dict with verts [B,V,3], joints [B,J,3], kp3d [B,19,3].
     """
+    B = pose.shape[0]
+    rotmats = batch_rodrigues(pose.reshape(B, consts.num_joints, 3))
+    return smpl_forward_rotmats(consts, rotmats, betas, impl=impl)
+
+
+def smpl_forward_rotmats(
+    consts: SMPLConsts,
+    rotmats: jax.Array,
+    betas: jax.Array,
+    impl: str = "auto",
+) -> dict[str, jax.Array]:
+    """SMPL forward from per-joint rotation matrices [B, J, 3, 3].
+
+    The rotation-representation-agnostic core: axis-angle (batch_rodrigues)
+    and 6D (rot6d_to_rotmat) parameterizations both land here.
+    """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    B = pose.shape[0]
+    B = rotmats.shape[0]
     J = consts.num_joints
-    rotmats = batch_rodrigues(pose.reshape(B, J, 3))  # [B, J, 3, 3]
     eye = jnp.eye(3, dtype=rotmats.dtype)
     pose_feat = (rotmats[:, 1:] - eye).reshape(B, (J - 1) * 9)
 
@@ -251,13 +283,23 @@ def smpl_forward(
     return {"verts": verts, "joints": joints_posed, "kp3d": kp3d}
 
 
-def mean_params(consts: SMPLConsts, num_cam: int = 3) -> np.ndarray:
-    """Initial Θ₀ for IEF (SURVEY.md §2.5): zero pose/shape, unit-ish camera.
+def mean_params(
+    consts: SMPLConsts, num_cam: int = 3, rotation_format: str = "axis_angle"
+) -> np.ndarray:
+    """Initial Θ₀ for IEF (SURVEY.md §2.5): neutral pose/shape, unit-ish camera.
 
-    Layout: [pose (J*3) | betas | cam (s, tx, ty)]. The reference initialises
-    from a mean-parameter file; with none available the neutral pose with a
-    framing scale is the canonical stand-in.
+    Layout: [pose | betas | cam (s, tx, ty)]. The reference initialises from
+    a mean-parameter file; with none available the neutral pose with a
+    framing scale is the canonical stand-in. Neutral pose is zeros for
+    axis-angle, the identity encoding (1,0,0,0,1,0) per joint for rot6d.
     """
-    theta = np.zeros(consts.num_joints * 3 + consts.num_betas + num_cam, np.float32)
+    J = consts.num_joints
+    if rotation_format == "rot6d":
+        pose0 = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), J)
+    else:
+        pose0 = np.zeros(J * 3, np.float32)
+    theta = np.concatenate(
+        [pose0, np.zeros(consts.num_betas, np.float32), np.zeros(num_cam, np.float32)]
+    )
     theta[-num_cam] = 0.9  # scale: body roughly fills the crop
     return theta

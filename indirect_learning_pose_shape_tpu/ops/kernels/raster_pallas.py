@@ -252,7 +252,7 @@ def _scores4_bwd(C, S, sigma, size, verts_t, g):
         ),
         out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=12 * B * size * size * N,

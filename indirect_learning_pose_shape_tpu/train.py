@@ -78,9 +78,12 @@ def loss_and_metrics(params, model_state, consts, batch, cfg: configs.TrainConfi
     total, terms = losses.total_loss(
         outputs, targets, cfg.loss_weight_dict, cfg.model.image_size
     )
-    # Recovery diagnostics (synthetic data carries ground truth).
-    if "gt_pose" in batch:
+    # Recovery diagnostics (synthetic data carries ground truth). Param-space
+    # pose error only applies when the network predicts the same (axis-angle)
+    # representation the generator sampled.
+    if "gt_pose" in batch and outputs["pose"].shape == batch["gt_pose"].shape:
         terms["pose_err"] = jnp.mean(jnp.abs(outputs["pose"] - batch["gt_pose"]))
+    if "gt_betas" in batch:
         terms["beta_err"] = jnp.mean(jnp.abs(outputs["betas"] - batch["gt_betas"]))
     return total, (terms, new_state)
 

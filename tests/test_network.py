@@ -45,7 +45,7 @@ def test_encoder_resnet50_bottleneck(rng):
 
 
 def test_ief_starts_at_mean_theta():
-    cfg = ief_mod.IEFConfig(hidden_dims=(64,), num_pose=12, num_betas=4, num_cam=3)
+    cfg = ief_mod.IEFConfig(hidden_dims=(64,), num_joints=4, num_betas=4, num_cam=3)
     mean = np.arange(cfg.theta_dim, dtype=np.float32) * 0.1
     params = ief_mod.ief_init(jax.random.PRNGKey(0), cfg, feature_dim=32, mean_theta=mean)
     feat = jnp.zeros((2, 32))
@@ -85,3 +85,55 @@ def test_network_gradient_flows_to_encoder(tiny_asset, rng):
     g = jax.grad(loss)(params)
     stem_g = np.asarray(g["encoder"]["stem"])
     assert np.all(np.isfinite(stem_g)) and np.abs(stem_g).max() > 0
+
+
+def test_rot6d_to_rotmat_properties(rng):
+    from indirect_learning_pose_shape_tpu.models import smpl
+
+    # Identity encoding -> identity matrix.
+    ident = jnp.array([1.0, 0, 0, 0, 1, 0])
+    np.testing.assert_allclose(
+        np.asarray(smpl.rot6d_to_rotmat(ident)), np.eye(3), atol=1e-6
+    )
+    # Random encodings -> valid rotations (orthonormal, det +1).
+    x = jnp.asarray(rng.randn(16, 6).astype(np.float32))
+    R = np.asarray(smpl.rot6d_to_rotmat(x))
+    np.testing.assert_allclose(
+        np.einsum("bij,bkj->bik", R, R), np.broadcast_to(np.eye(3), (16, 3, 3)),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+    # Encoding built from a rotation's first two columns reproduces it.
+    from indirect_learning_pose_shape_tpu.utils import oracle
+
+    R0 = oracle.rodrigues(rng.randn(5, 3) * 0.7).astype(np.float32)
+    enc6 = np.concatenate([R0[:, :, 0], R0[:, :, 1]], axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(smpl.rot6d_to_rotmat(jnp.asarray(enc6))), R0, atol=1e-5
+    )
+
+
+def test_network_rot6d_variant(tiny_asset, rng):
+    """rot6d parameterization: forward shapes + a descending train step."""
+    import dataclasses
+
+    from indirect_learning_pose_shape_tpu import train
+    from tests.test_train import tiny_train_cfg
+
+    cfg = tiny_train_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, ief=dataclasses.replace(cfg.model.ief, rotation_format="rot6d")
+        ),
+    )
+    ts, consts = train.init_state(cfg, tiny_asset)
+    gen_fn, step_fn = train.compile_train_fns(cfg, consts)
+    hist = []
+    for _ in range(8):
+        batch = gen_fn(ts.rng, ts.step)
+        ts, terms = step_fn(ts, batch)
+        hist.append(float(terms["total"]))
+    assert np.isfinite(hist[-1])
+    assert "pose_err" not in terms  # param-space error undefined across formats
+    assert ts.params["ief"]["mean_theta"].shape == (24 * 6 + 10 + 3,)
