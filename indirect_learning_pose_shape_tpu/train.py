@@ -128,6 +128,26 @@ def compile_train_fns(cfg: configs.TrainConfig, consts, mesh=None):
     return gen_sharded, step_sharded
 
 
+def compile_fused_step(cfg: configs.TrainConfig, consts, mesh=None):
+    """Single-dispatch train step: on-device batch generation + update in ONE
+    jit graph (the BASELINE.json:5 'whole train step is one jit-compiled
+    graph' in its strongest form). Under a mesh, a sharding constraint on the
+    generated batch keeps everything downstream data-parallel."""
+    data = mesh_lib.batch_sharding(mesh) if mesh is not None else None
+
+    def fused(ts: TrainState):
+        batch = make_batch(
+            ts.rng, ts.step, batch_size=cfg.batch_size, consts=consts, cfg=cfg
+        )
+        if data is not None:
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, data), batch
+            )
+        return train_step(ts, batch, consts, cfg)
+
+    return jax.jit(fused, donate_argnums=0)
+
+
 def preprocess_raw_batch(raw: dict, consts, cfg: configs.TrainConfig) -> dict:
     """On-device preprocessing of a raw disk batch (SURVEY.md §2.8).
 
@@ -233,7 +253,7 @@ def fit(
         ts = mesh_lib.replicate_pytree(ts, mesh)
         consts = mesh_lib.replicate_pytree(consts, mesh)
 
-    gen_fn, step_fn = compile_train_fns(cfg, consts, mesh)
+    fused_fn = compile_fused_step(cfg, consts, mesh)
 
     ckpt = None
     if cfg.checkpoint_every:
@@ -244,8 +264,7 @@ def fit(
     writer = MetricsWriter(metrics_path or cfg.metrics_path)
     terms = {}
     for i in range(num_steps):
-        batch = gen_fn(ts.rng, ts.step)
-        ts, terms = step_fn(ts, batch)
+        ts, terms = fused_fn(ts)
         if i % 10 == 0 or i == num_steps - 1:
             writer.write(i, terms)
         if ckpt and cfg.checkpoint_every and (i + 1) % cfg.checkpoint_every == 0:

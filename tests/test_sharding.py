@@ -64,3 +64,18 @@ def test_mesh_scaling_batch_shapes(tiny_asset):
     assert batch["image"].shape[0] == 16
     shard_shapes = {s.data.shape[0] for s in batch["image"].addressable_shards}
     assert shard_shapes == {4}
+
+
+def test_fused_step_sharded(tiny_asset):
+    """Single-graph gen+train step runs sharded and keeps params replicated."""
+    cfg = tiny_train_cfg(batch_size=8)
+    ts, consts = train.init_state(cfg, tiny_asset)
+    mesh = mesh_lib.make_mesh()
+    ts = mesh_lib.replicate_pytree(ts, mesh)
+    consts = mesh_lib.replicate_pytree(consts, mesh)
+    fused = train.compile_fused_step(cfg, consts, mesh)
+    ts, terms = fused(ts)
+    ts, terms = fused(ts)
+    assert np.isfinite(float(terms["total"]))
+    assert jax.tree.leaves(ts.params)[0].sharding.is_fully_replicated
+    assert int(ts.step) == 2
