@@ -43,17 +43,15 @@ def _throughput(
     ts, consts = train.init_state(cfg, asset)
     ts = jax.device_put(ts, device)
     consts = jax.device_put(consts, device)
-    gen_fn, step_fn = train.compile_train_fns(cfg, consts)
+    fused = train.compile_fused_step(cfg, consts)
 
     for _ in range(warmup):
-        batch = gen_fn(ts.rng, ts.step)
-        ts, terms = step_fn(ts, batch)
+        ts, terms = fused(ts)
     jax.block_until_ready(ts.params)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        batch = gen_fn(ts.rng, ts.step)
-        ts, terms = step_fn(ts, batch)
+        ts, terms = fused(ts)
     jax.block_until_ready(ts.params)
     dt = time.perf_counter() - t0
     assert bool(jnp.isfinite(terms["total"])), "non-finite loss in benchmark"

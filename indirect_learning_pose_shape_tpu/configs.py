@@ -79,10 +79,20 @@ CONFIG4_FULL = TrainConfig(model=_model(256), batch_size=32)
 # target-silhouette generation.
 CONFIG5_DATA_PARALLEL = TrainConfig(model=_model(256), batch_size=64, num_devices=None)
 
+# Larger flagship variant: ResNet-50 backbone + continuous 6D rotations.
+CONFIG4_LARGE = TrainConfig(
+    model=dataclasses.replace(
+        _model(256, depth=50),
+        ief=IEFConfig(rotation_format="rot6d"),
+    ),
+    batch_size=32,
+)
+
 PRESETS = {
     "config1_single": CONFIG1_SINGLE,
     "config2_smpl_batch": CONFIG2_SMPL_BATCH,
     "config3_render": CONFIG3_RENDER,
     "config4_full": CONFIG4_FULL,
+    "config4_large": CONFIG4_LARGE,
     "config5_data_parallel": CONFIG5_DATA_PARALLEL,
 }

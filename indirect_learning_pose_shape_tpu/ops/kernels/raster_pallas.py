@@ -45,9 +45,9 @@ _TW = 128  # pixel tile width (lanes)
 _KV = 128  # vertices per block (lanes)
 
 
-def _num_cutoff(sigma: float) -> float:
-    # exp(-d²/2σ²) < 1.2e-8 beyond 6σ — below f32 meaningful contribution.
-    return 6.0 * sigma
+def _num_cutoff(sigma: float, cutoff_sigmas: float = 6.0) -> float:
+    # exp(-d²/2σ²) < 1.5e-8 beyond 6σ — below f32 meaningful contribution.
+    return cutoff_sigmas * sigma
 
 
 def _pixel_coords(ty, tx):
@@ -70,13 +70,13 @@ def _hit(bbox_ref, kv, x0, y0, cut):
     )
 
 
-def _fwd_kernel(bbox_ref, verts_ref, out_ref, *, C, S, sigma):
+def _fwd_kernel(bbox_ref, verts_ref, out_ref, *, C, S, sigma, cutoff):
     """Grid (B, H/TH, W/TW). bbox [1,nblk,4] SMEM; verts [1,2,N] VMEM;
     out [1, C, TH, TW] accumulated in-place per channel."""
     ty = pl.program_id(1)
     tx = pl.program_id(2)
     inv2s2 = 1.0 / (2.0 * sigma * sigma)
-    cut = _num_cutoff(sigma)
+    cut = _num_cutoff(sigma, cutoff)
     px, py, x0, y0 = _pixel_coords(ty, tx)
 
     nblk = S // _KV
@@ -100,7 +100,7 @@ def _fwd_kernel(bbox_ref, verts_ref, out_ref, *, C, S, sigma):
         jax.lax.fori_loop(0, nblk, body, 0)
 
 
-def _bwd_kernel(bbox_ref, verts_ref, g_ref, dv_ref, *, sigma):
+def _bwd_kernel(bbox_ref, verts_ref, g_ref, dv_ref, *, sigma, cutoff):
     """Vertex-major VJP. Grid (B, nblk_total): each program owns one
     128-vertex block, derives the range of pixel tiles overlapping its bbox
     (dynamic fori bounds — sentinel blocks get an empty range), accumulates
@@ -112,7 +112,7 @@ def _bwd_kernel(bbox_ref, verts_ref, g_ref, dv_ref, *, sigma):
     kv = pl.program_id(1)
     inv2s2 = 1.0 / (2.0 * sigma * sigma)
     inv_s2 = 1.0 / (sigma * sigma)
-    cut = _num_cutoff(sigma)
+    cut = _num_cutoff(sigma, cutoff)
     H, W = g_ref.shape[2], g_ref.shape[3]
 
     minx, maxx = bbox_ref[0, kv, 0], bbox_ref[0, kv, 1]
@@ -192,16 +192,16 @@ def _in_specs(N, nblk, C, with_g):
     return specs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _scores4(verts_t, C, S, sigma, size):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _scores4(verts_t, C, S, sigma, size, cutoff):
     """verts_t [B, 2, N] -> scores [B, C, H, W] (channel-first)."""
-    return _scores4_impl(verts_t, C, S, sigma, size)
+    return _scores4_impl(verts_t, C, S, sigma, size, cutoff)
 
 
-def _scores4_impl(verts_t, C, S, sigma, size):
+def _scores4_impl(verts_t, C, S, sigma, size, cutoff):
     B, _, N = verts_t.shape
     bbox = _block_bboxes(verts_t)
-    kernel = functools.partial(_fwd_kernel, C=C, S=S, sigma=sigma)
+    kernel = functools.partial(_fwd_kernel, C=C, S=S, sigma=sigma, cutoff=cutoff)
     return pl.pallas_call(
         kernel,
         grid=(B, size // _TH, size // _TW),
@@ -222,16 +222,16 @@ def _scores4_impl(verts_t, C, S, sigma, size):
     )(bbox, verts_t)
 
 
-def _scores4_fwd(verts_t, C, S, sigma, size):
-    return _scores4_impl(verts_t, C, S, sigma, size), verts_t
+def _scores4_fwd(verts_t, C, S, sigma, size, cutoff):
+    return _scores4_impl(verts_t, C, S, sigma, size, cutoff), verts_t
 
 
-def _scores4_bwd(C, S, sigma, size, verts_t, g):
+def _scores4_bwd(C, S, sigma, size, cutoff, verts_t, g):
     B, _, N = verts_t.shape
     nblk_total = N // _KV
     nblk_per_class = S // _KV
     bbox = _block_bboxes(verts_t)
-    kernel = functools.partial(_bwd_kernel, sigma=sigma)
+    kernel = functools.partial(_bwd_kernel, sigma=sigma, cutoff=cutoff)
     dv = pl.pallas_call(
         kernel,
         grid=(B, nblk_total),
@@ -281,6 +281,8 @@ def raster_scores_pallas(
     # Class-sorted gather + transpose stay in XLA (differentiable, cheap).
     vx = raster_lib.gather_class_sorted(verts2d, layout)  # [B, N, 2]
     verts_t = jnp.swapaxes(vx, 1, 2)  # [B, 2, N]
-    score4 = _scores4(verts_t, C, S, float(cfg.sigma), size)  # [B, C, H, W]
+    score4 = _scores4(
+        verts_t, C, S, float(cfg.sigma), size, float(cfg.cutoff_sigmas)
+    )  # [B, C, H, W]
     B = verts2d.shape[0]
     return jnp.moveaxis(score4.reshape(B, C, size * size), 1, 2)

@@ -52,6 +52,11 @@ class RasterConfig:
     sigma: float = 2.0  # Gaussian falloff in pixels
     bg_gamma: float = 1.0  # background strength in the soft normalization
     pixel_chunk: int = 4096  # pixels per streamed chunk (memory knob)
+    # Pallas-kernel culling radius in sigmas. 6.0 keeps every contribution
+    # above f32 noise (exp(-18) ~ 1.5e-8) — exact vs the XLA path. Lowering
+    # it trades a little silhouette-edge fidelity for proportionally less
+    # kernel work (the cutoff halo dominates each block's visited area).
+    cutoff_sigmas: float = 6.0
 
 
 @functools.partial(
