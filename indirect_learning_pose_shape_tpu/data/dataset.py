@@ -112,8 +112,6 @@ def make_synthetic_dataset(
     Returns the arrays (and writes `path` if given). Self-supervised fixture:
     no external data needed, ground truth known exactly (SURVEY.md §4.3).
     """
-    import jax.numpy as jnp
-
     from indirect_learning_pose_shape_tpu.data import synthetic
     from indirect_learning_pose_shape_tpu.models import network as net
     from indirect_learning_pose_shape_tpu.utils import assets as assets_lib

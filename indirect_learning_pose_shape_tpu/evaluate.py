@@ -16,9 +16,6 @@ validation stream with a fixed key, so eval is deterministic.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -26,7 +23,6 @@ from indirect_learning_pose_shape_tpu import configs
 from indirect_learning_pose_shape_tpu.data import synthetic
 from indirect_learning_pose_shape_tpu.models import network as net
 from indirect_learning_pose_shape_tpu.models import smpl as smpl_mod
-from indirect_learning_pose_shape_tpu.ops import camera, raster
 
 
 def pve(pred_verts: jax.Array, gt_verts: jax.Array) -> jax.Array:
