@@ -23,6 +23,8 @@ class TrainConfig:
     synthetic: SyntheticConfig = SyntheticConfig()
     batch_size: int = 32
     learning_rate: float = 1e-4
+    lr_schedule: str = "constant"  # 'constant' | 'cosine' (warmup + decay)
+    warmup_steps: int = 200
     num_steps: int = 1000
     seed: int = 0
     # Loss weights (SURVEY.md §2.7): render loss + keypoint loss + priors.

@@ -1,0 +1,148 @@
+"""Image-directory dataset: the real-world on-disk layout (SURVEY.md §2.8).
+
+Layout (UP-3D-style file-per-sample, the reference's data genre):
+
+    root/
+      images/<name>.(png|jpg)     RGB, any size per image
+      masks/<name>.png            uint8 label mask (0 = bg, >0 = part id)
+      keypoints.npz               kp2d [N, K, 2] float32 (source pixels),
+                                  kp_vis [N, K], names [N] (matching stems)
+
+Source images are variably sized, so batching requires the ragged→fixed
+host step: the native C++ preprocessor (data/native_preprocess.py) derives
+a square crop from each mask and emits fixed-size normalized images, masks,
+and transformed keypoints. Batches come out ready for `train.train_step`
+(already model-resolution); `prefetch_to_device` overlaps the host work with
+device compute. The keypoint affine matches data/preprocess.py exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+
+def _imread(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB") if im.mode != "L" else im)
+
+
+def _transform_kp(kp2d: np.ndarray, bbox: np.ndarray, out_size: int) -> np.ndarray:
+    """Numpy mirror of data/preprocess.transform_keypoints (same affine)."""
+    cy, cx, size = bbox
+    scale = out_size / size
+    x = (kp2d[..., 0] + 0.5 - (cx - size / 2.0)) * scale - 0.5
+    y = (kp2d[..., 1] + 0.5 - (cy - size / 2.0)) * scale - 0.5
+    return np.stack([x, y], axis=-1).astype(np.float32)
+
+
+class ImageDirDataset:
+    """File-per-sample dataset with host-side (native) preprocessing."""
+
+    def __init__(
+        self,
+        root: str,
+        batch_size: int,
+        image_size: int,
+        num_parts: int = 24,
+        seed: int = 0,
+    ):
+        self.root = root
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.num_parts = num_parts
+        self.seed = seed
+
+        img_dir = os.path.join(root, "images")
+        self.names = sorted(
+            os.path.splitext(f)[0]
+            for f in os.listdir(img_dir)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        self.image_paths = {
+            os.path.splitext(f)[0]: os.path.join(img_dir, f)
+            for f in os.listdir(img_dir)
+        }
+        kp = np.load(os.path.join(root, "keypoints.npz"), allow_pickle=True)
+        kp_names = [str(n) for n in kp["names"]]
+        self.kp2d = {n: kp["kp2d"][i] for i, n in enumerate(kp_names)}
+        self.kp_vis = {n: kp["kp_vis"][i] for i, n in enumerate(kp_names)}
+        self.num_examples = len(self.names)
+        if self.num_examples < batch_size:
+            raise ValueError("dataset smaller than one batch")
+
+    def steps_per_epoch(self) -> int:
+        return self.num_examples // self.batch_size
+
+    def _load_sample(self, name: str):
+        image = _imread(self.image_paths[name])
+        mask = _imread(os.path.join(self.root, "masks", name + ".png"))
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        return image, mask.astype(np.uint8)
+
+    def _make_batch(self, names: list) -> dict:
+        from indirect_learning_pose_shape_tpu.data import native_preprocess as npp
+
+        images, masks, kps, viss = [], [], [], []
+        for n in names:
+            im, mk = self._load_sample(n)
+            images.append(im)
+            masks.append(mk)
+            kps.append(self.kp2d[n])
+            viss.append(self.kp_vis[n])
+        bboxes = np.stack([npp.bbox_from_mask(m) for m in masks])
+        out_imgs = npp.crop_resize_normalize(images, bboxes, self.image_size)
+        out_masks = npp.crop_resize_mask(masks, bboxes, self.image_size)
+        labels = np.minimum(out_masks.astype(np.int32), self.num_parts)
+        kp2d = np.stack(
+            [_transform_kp(k, b, self.image_size) for k, b in zip(kps, bboxes)]
+        )
+        return {
+            "image": out_imgs,
+            "silhouette": (out_masks > 0).astype(np.float32),
+            "part_labels": labels,
+            "kp2d": kp2d,
+            "kp_vis": np.stack(viss).astype(np.float32),
+        }
+
+    def batches(self, start_step: int = 0) -> Iterator[dict]:
+        """Endless preprocessed batch stream (deterministic, resumable)."""
+        spe = self.steps_per_epoch()
+        step = start_step
+        while True:
+            epoch_idx, offset = divmod(step, spe)
+            rng = np.random.RandomState((self.seed * 99991 + epoch_idx) % (2**31))
+            order = rng.permutation(self.num_examples)
+            for i in range(offset, spe):
+                idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+                yield self._make_batch([self.names[j] for j in idx])
+                step += 1
+
+
+def export_image_dir(arrays: dict, root: str) -> None:
+    """Materialize an NpzDataset-style dict as an image directory (test/demo)."""
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "masks"), exist_ok=True)
+    names = []
+    for i in range(len(arrays["images"])):
+        name = f"sample_{i:05d}"
+        names.append(name)
+        Image.fromarray(arrays["images"][i]).save(
+            os.path.join(root, "images", name + ".png")
+        )
+        Image.fromarray(arrays["masks"][i]).save(
+            os.path.join(root, "masks", name + ".png")
+        )
+    np.savez(
+        os.path.join(root, "keypoints.npz"),
+        kp2d=arrays["kp2d"],
+        kp_vis=arrays["kp_vis"],
+        names=np.array(names),
+    )

@@ -44,6 +44,15 @@ class TrainState:
 
 
 def make_optimizer(cfg: configs.TrainConfig) -> optax.GradientTransformation:
+    """Adam, optionally under a cosine schedule with linear warmup."""
+    if cfg.lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.num_steps, cfg.warmup_steps + 1),
+        )
+        return optax.adam(sched)
     return optax.adam(cfg.learning_rate)
 
 
@@ -195,6 +204,43 @@ def _auto_mesh(cfg: configs.TrainConfig):
     return None
 
 
+def fit_preprocessed(
+    cfg: configs.TrainConfig,
+    dataset,
+    asset=None,
+    num_steps: Optional[int] = None,
+    metrics_path: Optional[str] = None,
+):
+    """Training over a host-preprocessed batch stream (e.g. ImageDirDataset:
+    ragged source images reduced to model resolution by the native C++
+    preprocessor on the host; batches feed train_step directly)."""
+    from indirect_learning_pose_shape_tpu.data.dataset import prefetch_to_device
+
+    num_steps = num_steps or cfg.num_steps
+    ts, consts = init_state(cfg, asset)
+    mesh = _auto_mesh(cfg)
+    sharding = None
+    if mesh is not None:
+        ts = mesh_lib.replicate_pytree(ts, mesh)
+        consts = mesh_lib.replicate_pytree(consts, mesh)
+        sharding = mesh_lib.batch_sharding(mesh)
+    step_fn = jax.jit(
+        functools.partial(train_step, consts=consts, cfg=cfg), donate_argnums=0
+    )
+    batches = prefetch_to_device(
+        dataset.batches(start_step=int(ts.step)), size=2, sharding=sharding
+    )
+    writer = MetricsWriter(metrics_path or cfg.metrics_path)
+    terms = {}
+    for i in range(num_steps):
+        ts, terms = step_fn(ts, next(batches))
+        if i % 10 == 0 or i == num_steps - 1:
+            writer.write(i, terms)
+    jax.block_until_ready(ts.params)
+    writer.close()
+    return ts, {k: float(v) for k, v in terms.items()}
+
+
 def fit_dataset(
     cfg: configs.TrainConfig,
     dataset,
@@ -291,6 +337,12 @@ def main():
         "instead of the on-device synthetic stream",
     )
     ap.add_argument(
+        "--image-dir",
+        default=None,
+        help="train from an image-directory dataset (images/, masks/, "
+        "keypoints.npz; see data/image_dir.py)",
+    )
+    ap.add_argument(
         "--profile",
         default=None,
         help="capture a jax.profiler trace of the run to this directory "
@@ -335,7 +387,22 @@ def main():
     )
     t0 = time.time()
     with trace_cm:
-        if args.dataset:
+        if args.image_dir:
+            from indirect_learning_pose_shape_tpu.data.image_dir import (
+                ImageDirDataset,
+            )
+
+            ds = ImageDirDataset(
+                args.image_dir,
+                cfg.batch_size,
+                cfg.model.image_size,
+                num_parts=cfg.model.raster.num_parts,
+                seed=cfg.seed,
+            )
+            _, terms = fit_preprocessed(
+                cfg, ds, num_steps=args.steps, metrics_path=args.metrics
+            )
+        elif args.dataset:
             from indirect_learning_pose_shape_tpu.data.dataset import NpzDataset
 
             ds = NpzDataset(args.dataset, cfg.batch_size, seed=cfg.seed)

@@ -123,3 +123,36 @@ def test_fit_with_checkpointing(tiny_asset, tmp_path):
     restored = ck.restore(dataclasses.asdict(ts2))
     ck.close()
     assert int(restored["step"]) == 4
+
+
+def test_image_dir_dataset_roundtrip(tiny_asset, tmp_path):
+    """Export -> ImageDirDataset -> host-preprocessed batches -> training."""
+    from indirect_learning_pose_shape_tpu.data import image_dir
+
+    arrays = ds_lib.make_synthetic_dataset(
+        None, num_examples=8, source_size=64, asset=tiny_asset
+    )
+    root = str(tmp_path / "imgdir")
+    image_dir.export_image_dir(arrays, root)
+    ds = image_dir.ImageDirDataset(root, batch_size=4, image_size=32, num_parts=24)
+    batch = next(ds.batches())
+    assert batch["image"].shape == (4, 32, 32, 3)
+    assert batch["image"].dtype == np.float32
+    assert batch["part_labels"].max() <= 24
+    assert ((batch["silhouette"] > 0.5) == (batch["part_labels"] > 0)).mean() > 0.99
+    # Determinism + resume.
+    a = [b["image"].sum() for _, b in zip(range(3), ds.batches())]
+    b = [b["image"].sum() for _, b in zip(range(1), ds.batches(start_step=2))]
+    assert a[2] == b[0]
+
+    cfg = tiny_train_cfg()
+    _, terms = train.fit_preprocessed(cfg, ds, asset=tiny_asset, num_steps=2)
+    assert np.isfinite(terms["total"])
+
+
+def test_cosine_schedule_trains(tiny_asset):
+    cfg = dataclasses.replace(
+        tiny_train_cfg(), lr_schedule="cosine", warmup_steps=2, num_steps=10
+    )
+    _, terms = train.fit(cfg, asset=tiny_asset, num_steps=6)
+    assert np.isfinite(terms["total"])

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of the train step and print the top device ops.
+
+Observability tool (SURVEY.md §5 tracing): runs a few fused train steps under
+the profiler, then parses the Perfetto JSON to attribute device time by op —
+a terminal-friendly XProf substitute. The raw trace directory remains
+viewable in XProf/Perfetto.
+
+    python tools/profile_step.py --preset config4_full --out /tmp/ilps_trace
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+
+def capture(preset: str, out_dir: str, steps: int, batch_size: int) -> str:
+    import dataclasses
+
+    from indirect_learning_pose_shape_tpu import configs, train
+
+    cfg = dataclasses.replace(configs.PRESETS[preset], batch_size=batch_size)
+    ts, consts = train.init_state(cfg)
+    fused = train.compile_fused_step(cfg, consts)
+    for _ in range(3):
+        ts, _ = fused(ts)
+    jax.block_until_ready(ts.params)
+    with jax.profiler.trace(out_dir):
+        for _ in range(steps):
+            ts, _ = fused(ts)
+        jax.block_until_ready(ts.params)
+    traces = sorted(glob.glob(os.path.join(out_dir, "**", "*.trace.json.gz"),
+                              recursive=True))
+    return traces[-1]
+
+
+def report(trace_path: str, steps: int, top: int = 20) -> None:
+    with gzip.open(trace_path) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pids = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    agg = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e:
+            pname = pids.get(e.get("pid"), "")
+            if "TPU" in pname or "GPU" in pname:
+                agg[e.get("name", "")[:70]] += e["dur"]
+    total = sum(agg.values())
+    print(f"\ndevice ops by time ({trace_path}):")
+    print(f"{'ms/step':>9}  {'%':>5}  op")
+    for name, dur in agg.most_common(top):
+        print(f"{dur / steps / 1000:9.2f}  {100 * dur / total:5.1f}  {name}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", default="config4_full")
+    ap.add_argument("--out", default="/tmp/ilps_trace")
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--top", type=int, default=20)
+    args = ap.parse_args()
+    trace = capture(args.preset, args.out, args.steps, args.batch_size)
+    report(trace, args.steps, args.top)
+
+
+if __name__ == "__main__":
+    main()
