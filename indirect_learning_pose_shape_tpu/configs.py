@@ -25,6 +25,8 @@ class TrainConfig:
     learning_rate: float = 1e-4
     lr_schedule: str = "constant"  # 'constant' | 'cosine' (warmup + decay)
     warmup_steps: int = 200
+    grad_clip_norm: float = 0.0  # 0 disables global-norm clipping
+    weight_decay: float = 0.0  # 0 = plain Adam; >0 = AdamW
     num_steps: int = 1000
     seed: int = 0
     # Loss weights (SURVEY.md §2.7): render loss + keypoint loss + priors.

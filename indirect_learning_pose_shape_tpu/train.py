@@ -44,16 +44,24 @@ class TrainState:
 
 
 def make_optimizer(cfg: configs.TrainConfig) -> optax.GradientTransformation:
-    """Adam, optionally under a cosine schedule with linear warmup."""
+    """Adam/AdamW with optional warmup-cosine schedule and grad clipping."""
     if cfg.lr_schedule == "cosine":
-        sched = optax.warmup_cosine_decay_schedule(
+        lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=cfg.learning_rate,
             warmup_steps=cfg.warmup_steps,
             decay_steps=max(cfg.num_steps, cfg.warmup_steps + 1),
         )
-        return optax.adam(sched)
-    return optax.adam(cfg.learning_rate)
+    else:
+        lr = cfg.learning_rate
+    opt = (
+        optax.adamw(lr, weight_decay=cfg.weight_decay)
+        if cfg.weight_decay
+        else optax.adam(lr)
+    )
+    if cfg.grad_clip_norm:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
+    return opt
 
 
 def init_state(cfg: configs.TrainConfig, asset=None):

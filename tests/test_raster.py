@@ -103,3 +103,14 @@ def test_gradient_reaches_every_vertex(rng):
     g = np.asarray(jax.grad(loss)(jnp.asarray(verts2d)))
     # All vertices on-canvas here, so all should receive nonzero gradient.
     assert np.all(np.abs(g).sum(axis=-1) > 0)
+
+
+def test_raster_31_parts(rng):
+    """The reference's possible 31-part segmentation (SURVEY §0.1 item 3)."""
+    verts2d = (rng.rand(1, 200, 2) * 64).astype(np.float32)
+    labels = rng.randint(0, 31, size=200)
+    layout = raster.build_part_layout(labels, 31, lane=16)
+    cfg = raster.RasterConfig(image_size=64, num_parts=31, pixel_chunk=512)
+    out = raster.soft_rasterize(jnp.asarray(verts2d), layout, cfg)
+    assert out["probs"].shape == (1, 64, 64, 32)
+    np.testing.assert_allclose(np.asarray(out["probs"]).sum(-1), 1.0, atol=1e-5)

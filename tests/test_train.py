@@ -74,3 +74,12 @@ def test_fit_entrypoint_smoke(tiny_asset, tmp_path):
     assert "total" in terms and np.isfinite(terms["total"])
     lines = (tmp_path / "m.jsonl").read_text().strip().splitlines()
     assert len(lines) >= 1
+
+
+def test_grad_clip_and_weight_decay(tiny_asset):
+    cfg = dataclasses.replace(
+        tiny_train_cfg(), grad_clip_norm=1.0, weight_decay=1e-4,
+        lr_schedule="cosine", warmup_steps=2, num_steps=8,
+    )
+    _, terms = train.fit(cfg, asset=tiny_asset, num_steps=4)
+    assert np.isfinite(terms["total"])
