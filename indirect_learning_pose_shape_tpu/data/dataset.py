@@ -42,10 +42,13 @@ class NpzDataset:
         if self.num_examples < batch_size:
             raise ValueError("dataset smaller than one batch")
 
+    def _epoch_order(self, epoch_idx: int) -> np.ndarray:
+        rng = np.random.RandomState((self.seed * 100003 + epoch_idx) % (2**31))
+        return rng.permutation(self.num_examples)
+
     def epoch(self, epoch_idx: int) -> Iterator[dict]:
         """Deterministic per-epoch shuffle; drops the ragged tail batch."""
-        rng = np.random.RandomState((self.seed * 100003 + epoch_idx) % (2**31))
-        order = rng.permutation(self.num_examples)
+        order = self._epoch_order(epoch_idx)
         for start in range(0, self.num_examples - self.batch_size + 1, self.batch_size):
             idx = order[start : start + self.batch_size]
             yield {k: v[idx] for k, v in self.arrays.items()}
@@ -54,15 +57,20 @@ class NpzDataset:
         return self.num_examples // self.batch_size
 
     def batches(self, start_step: int = 0) -> Iterator[dict]:
-        """Endless batch stream, resumable at an arbitrary global step."""
+        """Endless batch stream, resumable at an arbitrary global step.
+
+        Resume skips by index arithmetic — skipped batches are never
+        materialized (only the epoch permutation is recomputed).
+        """
         spe = self.steps_per_epoch()
         step = start_step
         while True:
             epoch_idx, offset = divmod(step, spe)
-            for i, b in enumerate(self.epoch(epoch_idx)):
-                if i >= offset:
-                    yield b
-                    step += 1
+            order = self._epoch_order(epoch_idx)
+            for i in range(offset, spe):
+                idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+                yield {k: v[idx] for k, v in self.arrays.items()}
+                step += 1
 
 
 def prefetch_to_device(
@@ -74,30 +82,51 @@ def prefetch_to_device(
 
     Overlaps host loading + H2D transfer with device compute (the
     double-buffered HBM prefetch of BASELINE.json:5). With a sharding, the
-    batch lands already sharded over the mesh.
+    batch lands already sharded over the mesh. Loader exceptions propagate
+    to the consumer; closing the generator (or dropping it) unblocks and
+    ends the worker so no device buffers stay pinned behind a dead stream.
     """
     q: queue.Queue = queue.Queue(maxsize=size)
     end = object()
+    stop = threading.Event()
 
-    def put(batch):
+    def put_on_device(batch):
         if sharding is not None:
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 
+    def enqueue(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for batch in iterator:
-                q.put(put(batch))
-        finally:
-            q.put(end)
+                if not enqueue(put_on_device(batch)):
+                    return
+            enqueue(end)
+        except BaseException as exc:  # propagate loader errors to consumer
+            enqueue(exc)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is end:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is end:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # release any device-resident in-flight batches
+            q.get_nowait()
 
 
 def make_synthetic_dataset(

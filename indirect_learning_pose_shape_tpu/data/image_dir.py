@@ -24,11 +24,28 @@ from typing import Iterator
 import numpy as np
 
 
-def _imread(path: str) -> np.ndarray:
+def _imread_rgb(path: str) -> np.ndarray:
+    """Images always come back [H, W, 3] uint8 (grayscale gets broadcast)."""
     from PIL import Image
 
     with Image.open(path) as im:
-        return np.asarray(im.convert("RGB") if im.mode != "L" else im)
+        return np.asarray(im.convert("RGB"))
+
+
+def _imread_mask(path: str) -> np.ndarray:
+    """Label masks come back [H, W] uint8 with ids preserved.
+
+    Crucially, paletted PNGs (PIL mode 'P', the common label format) must
+    NOT be converted to RGB/L — np.asarray on the raw image yields the
+    palette indices, which ARE the part ids.
+    """
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im)
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    return arr.astype(np.uint8)
 
 
 def _transform_kp(kp2d: np.ndarray, bbox: np.ndarray, out_size: int) -> np.ndarray:
@@ -79,11 +96,9 @@ class ImageDirDataset:
         return self.num_examples // self.batch_size
 
     def _load_sample(self, name: str):
-        image = _imread(self.image_paths[name])
-        mask = _imread(os.path.join(self.root, "masks", name + ".png"))
-        if mask.ndim == 3:
-            mask = mask[..., 0]
-        return image, mask.astype(np.uint8)
+        image = _imread_rgb(self.image_paths[name])
+        mask = _imread_mask(os.path.join(self.root, "masks", name + ".png"))
+        return image, mask
 
     def _make_batch(self, names: list) -> dict:
         from indirect_learning_pose_shape_tpu.data import native_preprocess as npp

@@ -85,27 +85,36 @@ def _pack(images: Sequence[np.ndarray], channels: int):
 
 
 def _np_crop_resize(img, bbox, out_size, nearest=False):
+    """Reference implementation; zero outside the source (background fill)."""
     cy, cx, size = [float(v) for v in bbox]
     step = size / out_size
     ys = cy - size / 2 + (np.arange(out_size) + 0.5) * step - 0.5
     xs = cx - size / 2 + (np.arange(out_size) + 0.5) * step - 0.5
     h, w = img.shape[:2]
     if nearest:
-        yi = np.clip(np.round(ys).astype(int), 0, h - 1)
-        xi = np.clip(np.round(xs).astype(int), 0, w - 1)
-        return img[yi[:, None], xi[None, :]]
-    ys = np.clip(ys, 0, h - 1)
-    xs = np.clip(xs, 0, w - 1)
-    y0 = np.floor(ys).astype(int)
-    x0 = np.floor(xs).astype(int)
+        yr = np.round(ys).astype(int)
+        xr = np.round(xs).astype(int)
+        yi = np.clip(yr, 0, h - 1)
+        xi = np.clip(xr, 0, w - 1)
+        out = img[yi[:, None], xi[None, :]]
+        inside = ((yr >= 0) & (yr < h))[:, None] & ((xr >= 0) & (xr < w))[None, :]
+        return np.where(inside, out, np.zeros_like(out))
+    inside = ((ys >= 0) & (ys <= h - 1))[:, None] & (
+        (xs >= 0) & (xs <= w - 1)
+    )[None, :]
+    ysc = np.clip(ys, 0, h - 1)
+    xsc = np.clip(xs, 0, w - 1)
+    y0 = np.floor(ysc).astype(int)
+    x0 = np.floor(xsc).astype(int)
     y1 = np.minimum(y0 + 1, h - 1)
     x1 = np.minimum(x0 + 1, w - 1)
-    ty = (ys - y0)[:, None, None]
-    tx = (xs - x0)[None, :, None]
+    ty = (ysc - y0)[:, None, None]
+    tx = (xsc - x0)[None, :, None]
     im = img.astype(np.float32)
     top = im[y0[:, None], x0[None, :]] * (1 - tx) + im[y0[:, None], x1[None, :]] * tx
     bot = im[y1[:, None], x0[None, :]] * (1 - tx) + im[y1[:, None], x1[None, :]] * tx
-    return top * (1 - ty) + bot * ty
+    out = top * (1 - ty) + bot * ty
+    return np.where(inside[..., None] if out.ndim == 3 else inside, out, 0.0)
 
 
 def crop_resize_normalize(

@@ -68,9 +68,15 @@ def crop_resize_mask(masks: jax.Array, bboxes: jax.Array, out_size: int) -> jax.
         cy, cx, size = bbox[0], bbox[1], bbox[2]
         step = size / out_size
         o = jnp.arange(out_size, dtype=jnp.float32) + 0.5
-        ys = jnp.clip(jnp.round(cy - size / 2.0 + o * step - 0.5).astype(jnp.int32), 0, H - 1)
-        xs = jnp.clip(jnp.round(cx - size / 2.0 + o * step - 0.5).astype(jnp.int32), 0, W - 1)
-        return mask[ys[:, None], xs[None, :]]
+        ysf = jnp.round(cy - size / 2.0 + o * step - 0.5).astype(jnp.int32)
+        xsf = jnp.round(cx - size / 2.0 + o * step - 0.5).astype(jnp.int32)
+        ys = jnp.clip(ysf, 0, H - 1)
+        xs = jnp.clip(xsf, 0, W - 1)
+        out = mask[ys[:, None], xs[None, :]]
+        # Outside the source image is background — matches the image path
+        # (scale_and_translate zero-fills) and the native host path.
+        inside = ((ysf >= 0) & (ysf < H))[:, None] & ((xsf >= 0) & (xsf < W))[None, :]
+        return jnp.where(inside, out, jnp.zeros_like(out))
 
     return jax.vmap(one)(masks, bboxes)
 

@@ -81,8 +81,10 @@ def evaluate(
         batch = synthetic.generate_batch(
             key, cfg.batch_size, consts, cfg.model, cfg.synthetic
         )
+        # train=False: metrics must reflect deployed inference behaviour
+        # (BatchNorm running stats, not per-eval-batch statistics).
         outputs, _ = net.forward_train(
-            params, model_state, consts, batch["image"], cfg.model
+            params, model_state, consts, batch["image"], cfg.model, train=False
         )
         gt = smpl_mod.smpl_forward(
             consts.smpl, batch["gt_pose"], batch["gt_betas"], impl=cfg.model.smpl_impl

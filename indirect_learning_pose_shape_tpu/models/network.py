@@ -117,9 +117,14 @@ def forward_train(
     consts: ModelConsts,
     images: jax.Array,
     cfg: ModelConfig,
+    train: bool = True,
 ) -> tuple[dict, dict]:
-    """Training path: inference outputs + rendered soft seg map."""
-    outputs, new_state = forward(params, state, consts, images, cfg, train=True)
+    """Training path: inference outputs + rendered soft seg map.
+
+    train=False gives the rendered outputs with inference-mode BatchNorm
+    (running statistics) — what evaluation must measure.
+    """
+    outputs, new_state = forward(params, state, consts, images, cfg, train=train)
     verts2d = camera.project_pixel(outputs["verts"], outputs["cam"], cfg.image_size)
     rendered = raster.soft_rasterize(
         verts2d, consts.part_layout, cfg.raster, impl=cfg.raster_impl

@@ -212,6 +212,16 @@ def _auto_mesh(cfg: configs.TrainConfig):
     return None
 
 
+def _fold_num_steps(cfg: configs.TrainConfig, num_steps):
+    """Make an explicit step-count override part of the config BEFORE the
+    optimizer is built — the cosine schedule's decay horizon reads
+    cfg.num_steps, so an unfolded override would silently train at lr=0
+    past the configured horizon."""
+    if num_steps and num_steps != cfg.num_steps:
+        cfg = dataclasses.replace(cfg, num_steps=num_steps)
+    return cfg, cfg.num_steps
+
+
 def fit_preprocessed(
     cfg: configs.TrainConfig,
     dataset,
@@ -224,7 +234,7 @@ def fit_preprocessed(
     preprocessor on the host; batches feed train_step directly)."""
     from indirect_learning_pose_shape_tpu.data.dataset import prefetch_to_device
 
-    num_steps = num_steps or cfg.num_steps
+    cfg, num_steps = _fold_num_steps(cfg, num_steps)
     ts, consts = init_state(cfg, asset)
     mesh = _auto_mesh(cfg)
     sharding = None
@@ -264,7 +274,7 @@ def fit_dataset(
     """
     from indirect_learning_pose_shape_tpu.data.dataset import prefetch_to_device
 
-    num_steps = num_steps or cfg.num_steps
+    cfg, num_steps = _fold_num_steps(cfg, num_steps)
     ts, consts = init_state(cfg, asset)
     mesh = _auto_mesh(cfg)
     sharding = None
@@ -276,15 +286,17 @@ def fit_dataset(
         functools.partial(data_train_step, consts=consts, cfg=cfg), donate_argnums=0
     )
     start = int(ts.step)
-    batches = prefetch_to_device(
-        dataset.batches(start_step=start), size=2, sharding=sharding
+    # Filter to the keys the step uses BEFORE prefetch so unused arrays
+    # (e.g. gt_* diagnostics in synthetic npz files) never ride the H2D pipe.
+    raw_keys = ("images", "masks", "kp2d", "kp_vis")
+    raw_iter = (
+        {k: b[k] for k in raw_keys} for b in dataset.batches(start_step=start)
     )
+    batches = prefetch_to_device(raw_iter, size=2, sharding=sharding)
     writer = MetricsWriter(metrics_path or cfg.metrics_path)
     terms = {}
     for i in range(num_steps):
-        raw = next(batches)
-        raw = {k: raw[k] for k in ("images", "masks", "kp2d", "kp_vis")}
-        ts, terms = step_fn(ts, raw)
+        ts, terms = step_fn(ts, next(batches))
         if i % 10 == 0 or i == num_steps - 1:
             writer.write(i, terms)
     jax.block_until_ready(ts.params)
@@ -298,9 +310,23 @@ def fit(
     num_steps: Optional[int] = None,
     metrics_path: Optional[str] = None,
 ):
-    """Full training run. Returns (final_state, last_metrics)."""
-    num_steps = num_steps or cfg.num_steps
+    """Full training run. Returns (final_state, last_metrics).
+
+    With checkpointing enabled, automatically resumes from the latest
+    checkpoint in cfg.checkpoint_dir: params, optimizer state, step counter,
+    and RNG key are restored, so the data stream continues exactly where the
+    crashed run stopped (step-indexed keys; SURVEY.md §5 failure table).
+    """
+    cfg, num_steps = _fold_num_steps(cfg, num_steps)
     ts, consts = init_state(cfg, asset)
+
+    ckpt = None
+    if cfg.checkpoint_every:
+        from indirect_learning_pose_shape_tpu.utils.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(cfg.checkpoint_dir)
+        if ckpt.latest_step() is not None:
+            ts = TrainState(**ckpt.restore(dataclasses.asdict(ts)))
 
     mesh = _auto_mesh(cfg)
     if mesh is not None:
@@ -309,20 +335,18 @@ def fit(
 
     fused_fn = compile_fused_step(cfg, consts, mesh)
 
-    ckpt = None
-    if cfg.checkpoint_every:
-        from indirect_learning_pose_shape_tpu.utils.checkpoint import Checkpointer
-
-        ckpt = Checkpointer(cfg.checkpoint_dir)
-
     writer = MetricsWriter(metrics_path or cfg.metrics_path)
     terms = {}
-    for i in range(num_steps):
+    # `num_steps` is the TOTAL step budget: a resumed run (start > 0) trains
+    # only the remaining steps, so crash + rerun lands on the same endpoint.
+    start = int(ts.step)
+    for i in range(start, max(num_steps, start)):
         ts, terms = fused_fn(ts)
         if i % 10 == 0 or i == num_steps - 1:
             writer.write(i, terms)
-        if ckpt and cfg.checkpoint_every and (i + 1) % cfg.checkpoint_every == 0:
-            ckpt.save(i + 1, dataclasses.asdict(ts))
+        if ckpt and (i + 1) % cfg.checkpoint_every == 0:
+            # Global step number: resume-safe and never collides.
+            ckpt.save(int(ts.step), dataclasses.asdict(ts))
     jax.block_until_ready(ts.params)
     if ckpt:
         ckpt.close()

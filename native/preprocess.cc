@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cmath>
 #include <cstring>
 #include <functional>
 #include <thread>
@@ -23,11 +24,11 @@ namespace {
 
 inline float lerp(float a, float b, float t) { return a + (b - a) * t; }
 
-// Bilinear sample of channel c at (y, x), clamped to the image bounds.
+// Bilinear sample of channel c at (y, x); zero outside the image (matches
+// the on-device path, where scale_and_translate zero-fills).
 inline float sample(const uint8_t* img, int h, int w, int channels, float y,
                     float x, int c) {
-  y = std::min(std::max(y, 0.0f), static_cast<float>(h - 1));
-  x = std::min(std::max(x, 0.0f), static_cast<float>(w - 1));
+  if (y < 0.0f || y > h - 1.0f || x < 0.0f || x > w - 1.0f) return 0.0f;
   const int y0 = static_cast<int>(y);
   const int x0 = static_cast<int>(x);
   const int y1 = std::min(y0 + 1, h - 1);
@@ -41,12 +42,11 @@ inline float sample(const uint8_t* img, int h, int w, int channels, float y,
   return lerp(lerp(v00, v01, tx), lerp(v10, v11, tx), ty);
 }
 
-// Nearest-neighbor sample (for label masks).
+// Nearest-neighbor sample (for label masks); zero (= background) outside.
 inline uint8_t sample_nn(const uint8_t* img, int h, int w, float y, float x) {
-  int yi = static_cast<int>(y + 0.5f);
-  int xi = static_cast<int>(x + 0.5f);
-  yi = std::min(std::max(yi, 0), h - 1);
-  xi = std::min(std::max(xi, 0), w - 1);
+  const int yi = static_cast<int>(std::lround(y));
+  const int xi = static_cast<int>(std::lround(x));
+  if (yi < 0 || yi >= h || xi < 0 || xi >= w) return 0;
   return img[yi * w + xi];
 }
 

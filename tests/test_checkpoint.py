@@ -60,3 +60,26 @@ def test_resume_continues_stream(tiny_asset, tmp_path):
         float(terms4["total"]), float(terms4_resumed["total"]), rtol=1e-5
     )
     assert int(ts4.step) == int(ts4_resumed.step) == 4
+
+
+def test_fit_auto_resumes_from_checkpoint_dir(tiny_asset, tmp_path):
+    """Crash recovery: rerunning fit with the same checkpoint dir restores
+    the latest checkpoint and trains only the remaining steps to the same
+    endpoint as an uninterrupted run."""
+    ckdir = str(tmp_path / "ck")
+    cfg = dataclasses.replace(
+        tiny_train_cfg(), checkpoint_every=2, checkpoint_dir=ckdir, num_steps=6
+    )
+    # Uninterrupted run to step 6.
+    ts_full, terms_full = train.fit(
+        dataclasses.replace(cfg, checkpoint_dir=str(tmp_path / "ck_ref")),
+        asset=tiny_asset,
+    )
+    # "Crashed" run: stops at step 4 (checkpointed at 2 and 4)...
+    train.fit(cfg, asset=tiny_asset, num_steps=4)
+    # ...rerun with the SAME command: must restore step 4, train 2 more.
+    ts_resumed, terms_resumed = train.fit(cfg, asset=tiny_asset)
+    assert int(ts_resumed.step) == int(ts_full.step) == 6
+    np.testing.assert_allclose(
+        float(terms_resumed["total"]), float(terms_full["total"]), rtol=1e-5
+    )
