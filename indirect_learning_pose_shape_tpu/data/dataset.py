@@ -86,7 +86,12 @@ def prefetch_to_device(
     to the consumer; closing the generator (or dropping it) unblocks and
     ends the worker so no device buffers stay pinned behind a dead stream.
     """
-    q: queue.Queue = queue.Queue(maxsize=size)
+    # Token semaphore bounds in-flight batches WITHOUT hot-path polling: in
+    # steady state (producer ahead of consumer) acquire() returns the moment
+    # the consumer releases — a bounded queue's timeout-put would add its
+    # polling interval to every batch. The timeout only bites at shutdown.
+    q: queue.Queue = queue.Queue()
+    tokens = threading.Semaphore(size)
     end = object()
     stop = threading.Event()
 
@@ -95,23 +100,18 @@ def prefetch_to_device(
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 
-    def enqueue(item) -> bool:
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.1)
-                return True
-            except queue.Full:
-                continue
-        return False
-
     def worker():
         try:
             for batch in iterator:
-                if not enqueue(put_on_device(batch)):
+                while not tokens.acquire(timeout=0.2):
+                    if stop.is_set():
+                        return
+                if stop.is_set():
                     return
-            enqueue(end)
+                q.put(put_on_device(batch))
+            q.put(end)
         except BaseException as exc:  # propagate loader errors to consumer
-            enqueue(exc)
+            q.put(exc)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -122,6 +122,7 @@ def prefetch_to_device(
                 return
             if isinstance(item, BaseException):
                 raise item
+            tokens.release()  # free the slot as soon as the batch is handed off
             yield item
     finally:
         stop.set()
@@ -157,9 +158,20 @@ def make_synthetic_dataset(
         raster_impl="auto",
     )
     consts = net.build_consts(asset, model_cfg)
-    batch = jax.jit(
-        lambda k: synthetic.generate_batch(k, num_examples, consts, model_cfg)
-    )(jax.random.PRNGKey(seed))
+    # Render in bounded chunks: one giant batch OOMs HBM for large datasets
+    # (the raster works per-pixel-chunk but batch still multiplies memory).
+    chunk = min(num_examples, 64)
+    gen = jax.jit(lambda k: synthetic.generate_batch(k, chunk, consts, model_cfg))
+    parts: list = []
+    key = jax.random.PRNGKey(seed)
+    remaining = num_examples
+    while remaining > 0:
+        key, sub = jax.random.split(key)
+        batch = gen(sub)
+        take = min(chunk, remaining)
+        parts.append(jax.tree.map(lambda x: np.asarray(x[:take]), batch))
+        remaining -= take
+    batch = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
 
     images = np.asarray((batch["image"] + 1.0) * 127.5, dtype=np.uint8)
     arrays = {
