@@ -85,19 +85,27 @@ def _pack(images: Sequence[np.ndarray], channels: int):
 
 
 def _np_crop_resize(img, bbox, out_size, nearest=False):
-    """Reference implementation; zero outside the source (background fill)."""
-    cy, cx, size = [float(v) for v in bbox]
-    step = size / out_size
-    ys = cy - size / 2 + (np.arange(out_size) + 0.5) * step - 0.5
-    xs = cx - size / 2 + (np.arange(out_size) + 0.5) * step - 0.5
+    """Reference implementation; zero outside the source (background fill).
+
+    Coordinates are computed in float32 with half-up rounding, matching the
+    C++ path bit-for-bit — with a zero-filled (discontinuous) border, f32
+    vs f64 drift at the boundary would otherwise flip border pixels.
+    """
+    cy, cx, size = [np.float32(v) for v in bbox]
+    step = size / np.float32(out_size)
+    o = np.arange(out_size, dtype=np.float32)
+    ys = (cy - size * np.float32(0.5)) + (o + np.float32(0.5)) * step - np.float32(0.5)
+    xs = (cx - size * np.float32(0.5)) + (o + np.float32(0.5)) * step - np.float32(0.5)
     h, w = img.shape[:2]
     if nearest:
-        yr = np.round(ys).astype(int)
-        xr = np.round(xs).astype(int)
+        yr = np.floor(ys + np.float32(0.5)).astype(int)
+        xr = np.floor(xs + np.float32(0.5)).astype(int)
         yi = np.clip(yr, 0, h - 1)
         xi = np.clip(xr, 0, w - 1)
         out = img[yi[:, None], xi[None, :]]
         inside = ((yr >= 0) & (yr < h))[:, None] & ((xr >= 0) & (xr < w))[None, :]
+        if out.ndim == 3:
+            inside = inside[..., None]
         return np.where(inside, out, np.zeros_like(out))
     inside = ((ys >= 0) & (ys <= h - 1))[:, None] & (
         (xs >= 0) & (xs <= w - 1)

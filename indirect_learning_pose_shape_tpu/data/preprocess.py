@@ -68,8 +68,10 @@ def crop_resize_mask(masks: jax.Array, bboxes: jax.Array, out_size: int) -> jax.
         cy, cx, size = bbox[0], bbox[1], bbox[2]
         step = size / out_size
         o = jnp.arange(out_size, dtype=jnp.float32) + 0.5
-        ysf = jnp.round(cy - size / 2.0 + o * step - 0.5).astype(jnp.int32)
-        xsf = jnp.round(cx - size / 2.0 + o * step - 0.5).astype(jnp.int32)
+        # Half-up rounding (floor(x+0.5)): same tie-break as the native and
+        # numpy host paths (jnp.round is half-to-even and would disagree).
+        ysf = jnp.floor(cy - size / 2.0 + o * step).astype(jnp.int32)
+        xsf = jnp.floor(cx - size / 2.0 + o * step).astype(jnp.int32)
         ys = jnp.clip(ysf, 0, H - 1)
         xs = jnp.clip(xsf, 0, W - 1)
         out = mask[ys[:, None], xs[None, :]]

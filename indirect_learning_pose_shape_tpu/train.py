@@ -325,7 +325,16 @@ def fit(
         from indirect_learning_pose_shape_tpu.utils.checkpoint import Checkpointer
 
         ckpt = Checkpointer(cfg.checkpoint_dir)
-        if ckpt.latest_step() is not None:
+        latest = ckpt.latest_step()
+        if latest is not None:
+            if latest >= num_steps:
+                raise ValueError(
+                    f"checkpoint_dir {cfg.checkpoint_dir!r} already holds step "
+                    f"{latest} >= num_steps {num_steps}: refusing to train zero "
+                    "steps. Point checkpoint_dir somewhere fresh for a new run, "
+                    "or raise num_steps to continue this one."
+                )
+            print(f"resuming from step {latest} in {cfg.checkpoint_dir}")
             ts = TrainState(**ckpt.restore(dataclasses.asdict(ts)))
 
     mesh = _auto_mesh(cfg)

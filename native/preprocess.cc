@@ -43,9 +43,11 @@ inline float sample(const uint8_t* img, int h, int w, int channels, float y,
 }
 
 // Nearest-neighbor sample (for label masks); zero (= background) outside.
+// Half-up rounding (floor(x+0.5)) — the tie-break every path (C++, numpy
+// reference, on-device gather) agrees on; lround/np.round disagree at .5.
 inline uint8_t sample_nn(const uint8_t* img, int h, int w, float y, float x) {
-  const int yi = static_cast<int>(std::lround(y));
-  const int xi = static_cast<int>(std::lround(x));
+  const int yi = static_cast<int>(std::floor(y + 0.5f));
+  const int xi = static_cast<int>(std::floor(x + 0.5f));
   if (yi < 0 || yi >= h || xi < 0 || xi >= w) return 0;
   return img[yi * w + xi];
 }
