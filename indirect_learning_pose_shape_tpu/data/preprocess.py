@@ -44,6 +44,9 @@ def crop_resize(
 
     def one(img, bbox):
         scale, trans = _affine_params(bbox, out_size)
+        # antialias=False: plain point-sampled bilinear, bit-comparable to the
+        # native/numpy host paths (antialias widens the kernel on downscale,
+        # which the host paths do not do).
         return jax.image.scale_and_translate(
             img.astype(jnp.float32),
             (out_size, out_size, img.shape[-1]),
@@ -51,6 +54,7 @@ def crop_resize(
             scale,
             trans,
             method=method,
+            antialias=False,
         )
 
     return jax.vmap(one)(images, bboxes)

@@ -222,6 +222,34 @@ def _fold_num_steps(cfg: configs.TrainConfig, num_steps):
     return cfg, cfg.num_steps
 
 
+def _setup_checkpoint(cfg: configs.TrainConfig, ts: TrainState, num_steps: int):
+    """Open the checkpointer and auto-resume (shared by all fit_* paths).
+
+    Restores the latest checkpoint in cfg.checkpoint_dir into `ts` —
+    params, BN/opt state, step counter, RNG — refusing a stale directory
+    whose latest step already meets the step budget. Must run BEFORE any
+    mesh replication so the restored arrays pick up the run's sharding.
+    Returns (checkpointer_or_None, possibly-restored ts).
+    """
+    if not cfg.checkpoint_every:
+        return None, ts
+    from indirect_learning_pose_shape_tpu.utils.checkpoint import Checkpointer
+
+    ckpt = Checkpointer(cfg.checkpoint_dir)
+    latest = ckpt.latest_step()
+    if latest is not None:
+        if latest >= num_steps:
+            raise ValueError(
+                f"checkpoint_dir {cfg.checkpoint_dir!r} already holds step "
+                f"{latest} >= num_steps {num_steps}: refusing to train zero "
+                "steps. Point checkpoint_dir somewhere fresh for a new run, "
+                "or raise num_steps to continue this one."
+            )
+        print(f"resuming from step {latest} in {cfg.checkpoint_dir}")
+        ts = TrainState(**ckpt.restore(dataclasses.asdict(ts)))
+    return ckpt, ts
+
+
 def fit_preprocessed(
     cfg: configs.TrainConfig,
     dataset,
@@ -236,6 +264,7 @@ def fit_preprocessed(
 
     cfg, num_steps = _fold_num_steps(cfg, num_steps)
     ts, consts = init_state(cfg, asset)
+    ckpt, ts = _setup_checkpoint(cfg, ts, num_steps)
     mesh = _auto_mesh(cfg)
     sharding = None
     if mesh is not None:
@@ -245,16 +274,21 @@ def fit_preprocessed(
     step_fn = jax.jit(
         functools.partial(train_step, consts=consts, cfg=cfg), donate_argnums=0
     )
+    start = int(ts.step)
     batches = prefetch_to_device(
-        dataset.batches(start_step=int(ts.step)), size=2, sharding=sharding
+        dataset.batches(start_step=start), size=2, sharding=sharding
     )
     writer = MetricsWriter(metrics_path or cfg.metrics_path)
     terms = {}
-    for i in range(num_steps):
+    for i in range(start, max(num_steps, start)):
         ts, terms = step_fn(ts, next(batches))
         if i % 10 == 0 or i == num_steps - 1:
             writer.write(i, terms)
+        if ckpt and (i + 1) % cfg.checkpoint_every == 0:
+            ckpt.save(int(ts.step), dataclasses.asdict(ts))
     jax.block_until_ready(ts.params)
+    if ckpt:
+        ckpt.close()
     writer.close()
     return ts, {k: float(v) for k, v in terms.items()}
 
@@ -276,6 +310,7 @@ def fit_dataset(
 
     cfg, num_steps = _fold_num_steps(cfg, num_steps)
     ts, consts = init_state(cfg, asset)
+    ckpt, ts = _setup_checkpoint(cfg, ts, num_steps)
     mesh = _auto_mesh(cfg)
     sharding = None
     if mesh is not None:
@@ -295,11 +330,15 @@ def fit_dataset(
     batches = prefetch_to_device(raw_iter, size=2, sharding=sharding)
     writer = MetricsWriter(metrics_path or cfg.metrics_path)
     terms = {}
-    for i in range(num_steps):
+    for i in range(start, max(num_steps, start)):
         ts, terms = step_fn(ts, next(batches))
         if i % 10 == 0 or i == num_steps - 1:
             writer.write(i, terms)
+        if ckpt and (i + 1) % cfg.checkpoint_every == 0:
+            ckpt.save(int(ts.step), dataclasses.asdict(ts))
     jax.block_until_ready(ts.params)
+    if ckpt:
+        ckpt.close()
     writer.close()
     return ts, {k: float(v) for k, v in terms.items()}
 
@@ -319,24 +358,7 @@ def fit(
     """
     cfg, num_steps = _fold_num_steps(cfg, num_steps)
     ts, consts = init_state(cfg, asset)
-
-    ckpt = None
-    if cfg.checkpoint_every:
-        from indirect_learning_pose_shape_tpu.utils.checkpoint import Checkpointer
-
-        ckpt = Checkpointer(cfg.checkpoint_dir)
-        latest = ckpt.latest_step()
-        if latest is not None:
-            if latest >= num_steps:
-                raise ValueError(
-                    f"checkpoint_dir {cfg.checkpoint_dir!r} already holds step "
-                    f"{latest} >= num_steps {num_steps}: refusing to train zero "
-                    "steps. Point checkpoint_dir somewhere fresh for a new run, "
-                    "or raise num_steps to continue this one."
-                )
-            print(f"resuming from step {latest} in {cfg.checkpoint_dir}")
-            ts = TrainState(**ckpt.restore(dataclasses.asdict(ts)))
-
+    ckpt, ts = _setup_checkpoint(cfg, ts, num_steps)
     mesh = _auto_mesh(cfg)
     if mesh is not None:
         ts = mesh_lib.replicate_pytree(ts, mesh)

@@ -62,6 +62,62 @@ def test_resume_continues_stream(tiny_asset, tmp_path):
     assert int(ts4.step) == int(ts4_resumed.step) == 4
 
 
+def test_fit_dataset_auto_resumes(tiny_asset, tmp_path):
+    """Disk-data training checkpoints and resumes to the same endpoint as an
+    uninterrupted run (the stream restarts at the restored step via
+    batches(start_step); ADVICE.md round-1 medium finding)."""
+    from indirect_learning_pose_shape_tpu.data import dataset as ds_lib
+
+    arrays = ds_lib.make_synthetic_dataset(
+        None, num_examples=16, source_size=48, asset=tiny_asset
+    )
+    base = tiny_train_cfg()
+
+    def run(ckdir, num_steps):
+        cfg = dataclasses.replace(
+            base, checkpoint_every=2, checkpoint_dir=ckdir, num_steps=6
+        )
+        ds = ds_lib.NpzDataset(arrays, batch_size=cfg.batch_size, seed=3)
+        return train.fit_dataset(cfg, ds, asset=tiny_asset, num_steps=num_steps)
+
+    ts_full, terms_full = run(str(tmp_path / "ck_ref"), 6)
+    run(str(tmp_path / "ck"), 4)  # "crashed" at step 4
+    ts_res, terms_res = run(str(tmp_path / "ck"), 6)  # same command, resumes
+    assert int(ts_res.step) == int(ts_full.step) == 6
+    np.testing.assert_allclose(
+        float(terms_res["total"]), float(terms_full["total"]), rtol=1e-5
+    )
+
+
+def test_fit_preprocessed_auto_resumes(tiny_asset, tmp_path):
+    """Host-preprocessed (image-dir genre) training also checkpoints/resumes."""
+    from indirect_learning_pose_shape_tpu.data import dataset as ds_lib, image_dir
+
+    arrays = ds_lib.make_synthetic_dataset(
+        None, num_examples=8, source_size=64, asset=tiny_asset
+    )
+    root = str(tmp_path / "imgdir")
+    image_dir.export_image_dir(arrays, root)
+    base = tiny_train_cfg()
+
+    def run(ckdir, num_steps):
+        cfg = dataclasses.replace(
+            base, checkpoint_every=2, checkpoint_dir=ckdir, num_steps=4
+        )
+        ds = image_dir.ImageDirDataset(
+            root, batch_size=cfg.batch_size, image_size=32, num_parts=24
+        )
+        return train.fit_preprocessed(cfg, ds, asset=tiny_asset, num_steps=num_steps)
+
+    ts_full, terms_full = run(str(tmp_path / "ck_ref"), 4)
+    run(str(tmp_path / "ck"), 2)
+    ts_res, terms_res = run(str(tmp_path / "ck"), 4)
+    assert int(ts_res.step) == int(ts_full.step) == 4
+    np.testing.assert_allclose(
+        float(terms_res["total"]), float(terms_full["total"]), rtol=1e-5
+    )
+
+
 def test_fit_auto_resumes_from_checkpoint_dir(tiny_asset, tmp_path):
     """Crash recovery: rerunning fit with the same checkpoint dir restores
     the latest checkpoint and trains only the remaining steps to the same
