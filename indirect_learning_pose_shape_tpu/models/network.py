@@ -29,7 +29,7 @@ class ModelConfig:
     ief: ief_mod.IEFConfig = ief_mod.IEFConfig()
     raster: raster.RasterConfig = raster.RasterConfig()
     smpl_impl: str = "auto"  # 'xla' | 'pallas' | 'auto' (pallas on TPU)
-    raster_impl: str = "auto"  # 'xla' | 'pallas' | 'auto' (pallas on TPU)
+    raster_impl: str = "auto"  # 'separable' | 'xla' | 'pallas' | 'auto' (=separable)
 
 
 @functools.partial(

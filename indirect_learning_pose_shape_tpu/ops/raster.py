@@ -140,6 +140,51 @@ def _chunk_size(total: int, requested: int) -> int:
     return c
 
 
+def _raster_scores_separable(
+    verts2d: jax.Array, layout: PartLayout, cfg: RasterConfig
+) -> jax.Array:
+    """Separable-Gaussian scores: the whole rasterizer as batched MXU matmuls.
+
+    The isotropic 2D Gaussian factorizes EXACTLY over axes:
+
+        exp(−((x−xv)² + (y−yv)²)/2σ²) = exp(−(y−yv)²/2σ²) · exp(−(x−xv)²/2σ²)
+
+    so the per-class score image is a rank-S product of two thin factor
+    matrices built with 1-D exps:
+
+        Fy[v, h] = exp(−(h − yv)²/2σ²)   [B, C, S, H]
+        Fx[v, w] = exp(−(w − xv)²/2σ²)   [B, C, S, W]
+        score_c  = Fyᵀ @ Fx              (einsum 'bcsh,bcsw->bchw')
+
+    This replaces the O(H·W·V) pairwise VPU/transcendental sweep (both the
+    XLA gather path and the Pallas culled kernel) with O(V·(H+W)) exps —
+    ~24x fewer for 256² — plus batched [H,S]x[S,W] matmuls that run on the
+    MXU where flops are ~free. The backward pass is plain autodiff: two more
+    batched matmuls (dFy, dFx) and an elementwise chain that is
+    cancellation-free per element ((h − yv) is the small quantity, no
+    large-sum subtraction). Sentinel-padded slots give exp(−huge) = 0 in
+    both factors, so padding stays mathematically invisible.
+
+    Contractions pin Precision.HIGHEST: scores are sums of up to S
+    near-unit terms and feed IoU/BCE losses whose gradients near the
+    silhouette edge are the supervision signal; bf16-class accumulation
+    would inject ~1e-2 relative noise there for a negligible speed win at
+    these shapes.
+    """
+    size = cfg.image_size
+    B = verts2d.shape[0]
+    C, S = layout.num_parts, layout.seg_size
+    inv_two_sigma2 = 1.0 / (2.0 * cfg.sigma * cfg.sigma)
+    v = gather_class_sorted(verts2d, layout).reshape(B, C, S, 2)
+    r = jnp.arange(size, dtype=verts2d.dtype)
+    fx = jnp.exp(-jnp.square(r[None, None, None, :] - v[..., 0:1]) * inv_two_sigma2)
+    fy = jnp.exp(-jnp.square(r[None, None, None, :] - v[..., 1:2]) * inv_two_sigma2)
+    score = jnp.einsum(
+        "bcsh,bcsw->bchw", fy, fx, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.moveaxis(score.reshape(B, C, size * size), 1, 2)
+
+
 def raster_scores(
     verts2d: jax.Array,
     layout: PartLayout,
@@ -148,10 +193,14 @@ def raster_scores(
 ) -> jax.Array:
     """Per-class Gaussian scores. verts2d [B,V,2] (pixels) -> [B, H*W, C].
 
-    impl: 'xla' | 'pallas' | 'auto' (pallas on TPU, xla elsewhere).
+    impl: 'separable' (default everywhere: MXU matmul formulation) | 'xla'
+    (pairwise gather/segment-sum) | 'pallas' (culled VPU kernel) | 'auto'.
+    All three compute the same sum-of-Gaussians up to f32 rounding.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "separable"
+    if impl == "separable":
+        return _raster_scores_separable(verts2d, layout, cfg)
     if impl == "pallas":
         from indirect_learning_pose_shape_tpu.ops.kernels.raster_pallas import (
             raster_scores_pallas,

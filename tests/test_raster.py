@@ -105,6 +105,40 @@ def test_gradient_reaches_every_vertex(rng):
     assert np.all(np.abs(g).sum(axis=-1) > 0)
 
 
+def test_separable_matches_xla_forward_and_grad(rng):
+    """The separable MXU formulation == the pairwise gather path, fwd + grad.
+
+    exp(−(dx²+dy²)/2σ²) = exp(−dy²/2σ²)·exp(−dx²/2σ²) exactly; both paths
+    must agree to f32 rounding (different summation order only)."""
+    verts2d, _, layout, cfg = _setup(rng, batch=2, num_verts=60, size=32)
+    v = jnp.asarray(verts2d)
+
+    def loss(vv, impl):
+        out = raster.soft_rasterize(vv, layout, cfg, impl=impl)
+        return jnp.sum(out["silhouette"] ** 2) + jnp.sum(out["probs"][..., 1:] ** 1.5)
+
+    a = raster.raster_scores(v, layout, cfg, impl="xla")
+    b = raster.raster_scores(v, layout, cfg, impl="separable")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    ga = np.asarray(jax.grad(loss)(v, "xla"))
+    gb = np.asarray(jax.grad(loss)(v, "separable"))
+    np.testing.assert_allclose(ga, gb, atol=1e-5)
+
+
+def test_separable_sentinel_padding_invisible(rng):
+    """Padded (sentinel) slots contribute exactly zero in the separable path."""
+    verts2d, labels, layout, cfg = _setup(rng, num_verts=37)  # ragged -> padding
+    assert float(np.asarray(layout.valid).sum()) < layout.valid.shape[0]
+    scores = np.asarray(
+        raster.raster_scores(jnp.asarray(verts2d), layout, cfg, impl="separable")
+    )
+    assert np.all(np.isfinite(scores))
+    # An empty class (no vertex has the last label) must score exactly 0.
+    empty = [c for c in range(cfg.num_parts) if not np.any(labels == c)]
+    for c in empty:
+        np.testing.assert_array_equal(scores[..., c], 0.0)
+
+
 def test_raster_31_parts(rng):
     """The reference's possible 31-part segmentation (SURVEY §0.1 item 3)."""
     verts2d = (rng.rand(1, 200, 2) * 64).astype(np.float32)
