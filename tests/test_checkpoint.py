@@ -9,8 +9,10 @@ import numpy as np
 from indirect_learning_pose_shape_tpu import train
 from indirect_learning_pose_shape_tpu.utils.checkpoint import Checkpointer
 from tests.test_train import tiny_train_cfg
+import pytest
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tiny_asset, tmp_path):
     cfg = tiny_train_cfg()
     ts, consts = train.init_state(cfg, tiny_asset)
@@ -31,6 +33,7 @@ def test_save_restore_roundtrip(tiny_asset, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_resume_continues_stream(tiny_asset, tmp_path):
     """Training 4 steps straight == training 2, checkpointing, resuming 2."""
     cfg = tiny_train_cfg()
@@ -62,6 +65,7 @@ def test_resume_continues_stream(tiny_asset, tmp_path):
     assert int(ts4.step) == int(ts4_resumed.step) == 4
 
 
+@pytest.mark.slow
 def test_fit_dataset_auto_resumes(tiny_asset, tmp_path):
     """Disk-data training checkpoints and resumes to the same endpoint as an
     uninterrupted run (the stream restarts at the restored step via
@@ -89,6 +93,7 @@ def test_fit_dataset_auto_resumes(tiny_asset, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_fit_preprocessed_auto_resumes(tiny_asset, tmp_path):
     """Host-preprocessed (image-dir genre) training also checkpoints/resumes."""
     from indirect_learning_pose_shape_tpu.data import dataset as ds_lib, image_dir
@@ -118,6 +123,7 @@ def test_fit_preprocessed_auto_resumes(tiny_asset, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_fit_auto_resumes_from_checkpoint_dir(tiny_asset, tmp_path):
     """Crash recovery: rerunning fit with the same checkpoint dir restores
     the latest checkpoint and trains only the remaining steps to the same

@@ -68,6 +68,7 @@ def test_prefetch_to_device(tiny_asset, tmp_path):
     assert isinstance(batches[0]["images"], jax.Array)
 
 
+@pytest.mark.slow
 def test_fit_dataset_runs_and_descends(tiny_asset, tmp_path):
     cfg = tiny_train_cfg()
     arrays = ds_lib.make_synthetic_dataset(
@@ -98,6 +99,7 @@ def test_native_matches_numpy_fallback(rng):
     assert out_imgs.min() >= -1.0 and out_imgs.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_fit_dataset_sharded_over_mesh(tiny_asset):
     """Disk-data path runs data-parallel over the fake 8-device mesh."""
     cfg = dataclasses.replace(tiny_train_cfg(batch_size=8), num_devices=8)
@@ -109,6 +111,7 @@ def test_fit_dataset_sharded_over_mesh(tiny_asset):
     assert np.isfinite(terms["total"])
 
 
+@pytest.mark.slow
 def test_fit_with_checkpointing(tiny_asset, tmp_path):
     """fit()'s in-loop orbax checkpointing writes a restorable checkpoint."""
     cfg = tiny_train_cfg(
@@ -125,6 +128,7 @@ def test_fit_with_checkpointing(tiny_asset, tmp_path):
     assert int(restored["step"]) == 4
 
 
+@pytest.mark.slow
 def test_image_dir_dataset_roundtrip(tiny_asset, tmp_path):
     """Export -> ImageDirDataset -> host-preprocessed batches -> training."""
     from indirect_learning_pose_shape_tpu.data import image_dir
@@ -150,6 +154,7 @@ def test_image_dir_dataset_roundtrip(tiny_asset, tmp_path):
     assert np.isfinite(terms["total"])
 
 
+@pytest.mark.slow
 def test_cosine_schedule_trains(tiny_asset):
     cfg = dataclasses.replace(
         tiny_train_cfg(), lr_schedule="cosine", warmup_steps=2, num_steps=10

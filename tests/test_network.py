@@ -9,6 +9,7 @@ import numpy as np
 from indirect_learning_pose_shape_tpu.models import encoder as enc
 from indirect_learning_pose_shape_tpu.models import ief as ief_mod
 from indirect_learning_pose_shape_tpu.models import network as net
+import pytest
 
 
 def small_model_cfg(image_size=48, num_parts=24):
@@ -36,6 +37,7 @@ def test_encoder_shapes_and_state(rng):
     assert float(jnp.abs(eval_state["bn_stem"]["mean"] - state["bn_stem"]["mean"]).max()) == 0
 
 
+@pytest.mark.slow
 def test_encoder_resnet50_bottleneck(rng):
     cfg = enc.EncoderConfig(depth=50, width=8, compute_dtype=jnp.float32)
     params, state = enc.encoder_init(jax.random.PRNGKey(0), cfg)
@@ -72,6 +74,7 @@ def test_full_network_forward_and_train(tiny_asset, rng):
     assert out_t["probs"].shape == (2, 48, 48, cfg.raster.num_parts + 1)
 
 
+@pytest.mark.slow
 def test_network_gradient_flows_to_encoder(tiny_asset, rng):
     """The indirect-learning property end to end: render loss moves conv weights."""
     cfg = small_model_cfg(image_size=32)
@@ -113,6 +116,7 @@ def test_rot6d_to_rotmat_properties(rng):
     )
 
 
+@pytest.mark.slow
 def test_network_rot6d_variant(tiny_asset, rng):
     """rot6d parameterization: forward shapes + a descending train step."""
     import dataclasses

@@ -9,12 +9,14 @@ import numpy as np
 from indirect_learning_pose_shape_tpu import train
 from indirect_learning_pose_shape_tpu.parallel import mesh as mesh_lib
 from tests.test_train import tiny_train_cfg
+import pytest
 
 
 def test_eight_fake_devices_present():
     assert len(jax.devices()) == 8, "conftest must provide 8 fake CPU devices"
 
 
+@pytest.mark.slow
 def test_mesh_train_step_runs(tiny_asset):
     cfg = tiny_train_cfg(batch_size=8)
     ts, consts = train.init_state(cfg, tiny_asset)
@@ -33,6 +35,7 @@ def test_mesh_train_step_runs(tiny_asset):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(tiny_asset):
     """Same seed, same loss on a 1-device and an 8-device mesh (up to f32 reduce order)."""
     cfg = tiny_train_cfg(batch_size=8)
@@ -66,6 +69,7 @@ def test_mesh_scaling_batch_shapes(tiny_asset):
     assert shard_shapes == {4}
 
 
+@pytest.mark.slow
 def test_fused_step_sharded(tiny_asset):
     """Single-graph gen+train step runs sharded and keeps params replicated."""
     cfg = tiny_train_cfg(batch_size=8)

@@ -9,6 +9,7 @@ import numpy as np
 from indirect_learning_pose_shape_tpu import configs, train
 from indirect_learning_pose_shape_tpu.data import synthetic
 from tests.test_network import small_model_cfg
+import pytest
 
 
 def tiny_train_cfg(image_size=32, batch_size=4, **kw):
@@ -41,6 +42,7 @@ def test_synthetic_batch_targets_consistent(tiny_asset):
     assert sil.mean() > 0.01
 
 
+@pytest.mark.slow
 def test_train_loss_decreases(tiny_asset):
     cfg = tiny_train_cfg()
     ts, consts = train.init_state(cfg, tiny_asset)
@@ -54,6 +56,7 @@ def test_train_loss_decreases(tiny_asset):
     assert last < first, f"loss did not decrease: {first} -> {last}"
 
 
+@pytest.mark.slow
 def test_train_deterministic(tiny_asset):
     cfg = tiny_train_cfg()
 
@@ -68,6 +71,7 @@ def test_train_deterministic(tiny_asset):
     assert run() == run()
 
 
+@pytest.mark.slow
 def test_fit_entrypoint_smoke(tiny_asset, tmp_path):
     cfg = tiny_train_cfg(metrics_path=str(tmp_path / "m.jsonl"))
     _, terms = train.fit(cfg, asset=tiny_asset, num_steps=3)
@@ -76,6 +80,7 @@ def test_fit_entrypoint_smoke(tiny_asset, tmp_path):
     assert len(lines) >= 1
 
 
+@pytest.mark.slow
 def test_grad_clip_and_weight_decay(tiny_asset):
     cfg = dataclasses.replace(
         tiny_train_cfg(), grad_clip_norm=1.0, weight_decay=1e-4,
