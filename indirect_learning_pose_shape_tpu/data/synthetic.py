@@ -78,8 +78,15 @@ def generate_batch(
 
     smpl_out = smpl_mod.smpl_forward(consts.smpl, pose, betas, impl=model_cfg.smpl_impl)
     verts2d = camera.project_pixel(smpl_out["verts"], cam, size)
+    # Target render: pure data (argmax'd to labels / thresholded to a mask,
+    # never differentiated), so the cheapest matmul precision suffices —
+    # a ~1e-2 score error cannot move a 0.5 threshold or an argmax except
+    # exactly on class boundaries, where either label is a valid target.
+    target_raster_cfg = dataclasses.replace(
+        model_cfg.raster, matmul_precision="default"
+    )
     rendered = raster.soft_rasterize(
-        verts2d, consts.part_layout, model_cfg.raster, impl=model_cfg.raster_impl
+        verts2d, consts.part_layout, target_raster_cfg, impl=model_cfg.raster_impl
     )
     kp2d = camera.project_pixel(smpl_out["kp3d"], cam, size)
 
@@ -93,8 +100,12 @@ def generate_batch(
     image = image + cfg.image_noise * jax.random.normal(k_noise, image.shape)
     image = jnp.clip(image, 0.0, 1.0) * 2.0 - 1.0
 
+    # Geometric visibility: keypoints projected outside the crop are
+    # invisible (structured missingness, like a dataset's truncated bodies),
+    # on top of the random dropout that models annotation gaps.
+    in_crop = jnp.all((kp2d >= 0.0) & (kp2d <= size - 1.0), axis=-1)
     kp_vis = (
-        jax.random.uniform(k_vis, kp2d.shape[:2]) < cfg.kp_visibility
+        in_crop & (jax.random.uniform(k_vis, kp2d.shape[:2]) < cfg.kp_visibility)
     ).astype(jnp.float32)
 
     return {

@@ -65,6 +65,45 @@ def _conv(x, w, stride=1):
     )
 
 
+def _stem_conv_s2d(x, w):
+    """7x7/2 stem conv as a space-to-depth 4x4/1 conv — identical math.
+
+    A stride-2 conv with 3 input channels runs the MXU at ~3/128 lane
+    occupancy (the dominant cost of the whole encoder: 7.4 of 9.2 ms
+    fwd+bwd at B=32, 256²). Packing 2x2 pixel quads into channels turns it
+    into a stride-1 4x4 conv over 12 channels — 4x the occupancy, same
+    result: with the kernel zero-padded 7->8 and split by parity,
+        y[i,j] = Σ_{u,v} w[u,v]·x[2i+u−2, 2j+v−2]
+               = Σ_{u',v',a,b} w8[2u'+a, 2v'+b]·X[i+u', j+v', (a,b,:)]
+    where X is the padded input with 2x2 blocks moved into channels. The
+    padding (lo=2, hi=4) reproduces XLA's SAME alignment for k=7, s=2 on
+    even sizes; the extra high row/column falls outside every kernel
+    window. Gradients flow through the rearrangement as plain autodiff.
+    """
+    B, H, W, Cin = x.shape
+    C = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (2, 4), (2, 4), (0, 0)))
+    Hp, Wp = xp.shape[1] // 2, xp.shape[2] // 2
+    X = (
+        xp.reshape(B, Hp, 2, Wp, 2, Cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, Hp, Wp, 4 * Cin)
+    )
+    w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    w4 = (
+        w8.reshape(4, 2, 4, 2, Cin, C)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(4, 4, 4 * Cin, C)
+    )
+    return jax.lax.conv_general_dilated(
+        X,
+        w4.astype(X.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def _batch_norm(x, p, s, train: bool, momentum: float, eps: float):
     """Returns (y, new_state). Stats computed/stored in f32."""
     if train:
@@ -171,7 +210,10 @@ def encoder_apply(
     blocks = _STAGE_BLOCKS[cfg.depth]
     x = images.astype(cfg.compute_dtype)
     new_state = {}
-    x = _conv(x, params["stem"], stride=2)
+    if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        x = _stem_conv_s2d(x, params["stem"])
+    else:
+        x = _conv(x, params["stem"], stride=2)
     x, new_state["bn_stem"] = _batch_norm(
         x, params["bn_stem"], state["bn_stem"], train, cfg.bn_momentum, cfg.bn_eps
     )

@@ -109,8 +109,12 @@ def test_separable_matches_xla_forward_and_grad(rng):
     """The separable MXU formulation == the pairwise gather path, fwd + grad.
 
     exp(−(dx²+dy²)/2σ²) = exp(−dy²/2σ²)·exp(−dx²/2σ²) exactly; both paths
-    must agree to f32 rounding (different summation order only)."""
+    must agree to f32 rounding (different summation order only). Pins
+    matmul_precision='highest' — the bit-comparison setting."""
+    import dataclasses
+
     verts2d, _, layout, cfg = _setup(rng, batch=2, num_verts=60, size=32)
+    cfg = dataclasses.replace(cfg, matmul_precision="highest")
     v = jnp.asarray(verts2d)
 
     def loss(vv, impl):

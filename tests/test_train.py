@@ -43,6 +43,35 @@ def test_synthetic_batch_targets_consistent(tiny_asset):
 
 
 @pytest.mark.slow
+def test_offcrop_keypoints_invisible_and_lossless(tiny_asset):
+    """Geometric visibility: keypoints projected outside the crop get vis=0,
+    and the masked keypoint loss passes them zero gradient."""
+    from indirect_learning_pose_shape_tpu import losses
+
+    cfg = tiny_train_cfg()
+    ts, consts = train.init_state(cfg, tiny_asset)
+    # Extreme camera translation pushes part of the body off-crop.
+    synth_cfg = dataclasses.replace(cfg.synthetic, cam_trans_std=1.5, kp_visibility=1.0)
+    batch = jax.jit(
+        lambda k: synthetic.generate_batch(k, 8, consts, cfg.model, synth_cfg)
+    )(jax.random.PRNGKey(3))
+    kp = np.asarray(batch["kp2d"])
+    vis = np.asarray(batch["kp_vis"])
+    size = cfg.model.image_size
+    off = ~np.all((kp >= 0.0) & (kp <= size - 1.0), axis=-1)
+    assert off.any(), "fixture must push some keypoints off-crop"
+    assert np.all(vis[off] == 0.0)
+    assert np.all(vis[~off] == 1.0)  # kp_visibility=1.0: on-crop all visible
+
+    # Zero gradient through invisible keypoints.
+    g = jax.grad(
+        lambda pred: losses.keypoint_l2(pred, batch["kp2d"], batch["kp_vis"], size)
+    )(batch["kp2d"] + 1.0)
+    g = np.asarray(g)
+    assert np.all(g[off] == 0.0)
+    assert np.any(g[~off] != 0.0)
+
+
 def test_train_loss_decreases(tiny_asset):
     cfg = tiny_train_cfg()
     ts, consts = train.init_state(cfg, tiny_asset)
