@@ -44,6 +44,10 @@ class TrainConfig:
     checkpoint_every: int = 0
     checkpoint_dir: str = "/tmp/ilps_ckpt"
     metrics_path: str | None = None  # JSONL per-step scalars
+    tensorboard_dir: str | None = None  # TB event files (utils/metrics.py)
+    # ImageNet-pretrained backbone npz (tools/import_resnet_weights.py);
+    # None trains the encoder from scratch (SURVEY.md §2.4).
+    pretrained: str | None = None
 
     @property
     def loss_weight_dict(self) -> dict[str, float]:

@@ -11,10 +11,21 @@ against ground truth (available exactly on the synthetic stream):
 - Silhouette IoU between the rendered prediction and the target mask.
 
 All pure jittable functions; `evaluate()` runs them over a synthetic
-validation stream with a fixed key, so eval is deterministic.
+validation stream with a fixed key, so eval is deterministic;
+`evaluate_dataset()` scores a disk dataset (.npz) through the exact
+on-device preprocessing the training path uses, computing the 3D metrics
+when the file stores ground-truth SMPL params and image-space metrics
+(silhouette IoU, part accuracy, keypoint error) always.
+
+Noise: eval metrics are exact for a fixed (seed, num_batches) — the stream
+is deterministic — but are a sample of the generator distribution; at the
+default 4x32 images the run-to-run spread across seeds is ~1-2% relative
+(dominated by pose diversity), so compare runs at matched seeds.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +77,54 @@ def silhouette_iou_metric(pred_sil: jax.Array, target_sil: jax.Array) -> jax.Arr
     return jnp.mean(inter / jnp.maximum(union, 1))
 
 
+def _batch_metrics(params, model_state, consts, batch, cfg: configs.TrainConfig):
+    """Shared per-batch metric computation (jit-traced).
+
+    train=False: metrics must reflect deployed inference behaviour
+    (BatchNorm running stats, not per-eval-batch statistics).
+    """
+    outputs, _ = net.forward_train(
+        params, model_state, consts, batch["image"], cfg.model, train=False
+    )
+    metrics = {
+        "sil_iou": silhouette_iou_metric(outputs["silhouette"], batch["silhouette"])
+    }
+    if "kp2d" in batch:
+        vis = batch.get("kp_vis", jnp.ones(batch["kp2d"].shape[:-1]))
+        err = jnp.linalg.norm(outputs["kp2d"] - batch["kp2d"], axis=-1)
+        metrics["kp_err_px"] = jnp.sum(err * vis) / jnp.maximum(jnp.sum(vis), 1.0)
+    if "gt_pose" in batch and "gt_betas" in batch:
+        gt = smpl_mod.smpl_forward(
+            consts.smpl, batch["gt_pose"], batch["gt_betas"], impl=cfg.model.smpl_impl
+        )
+        metrics["pve"] = pve(outputs["verts"], gt["verts"])
+        metrics["mpjpe"] = mpjpe(outputs["kp3d"], gt["kp3d"])
+        metrics["pa_mpjpe"] = pa_mpjpe(outputs["kp3d"], gt["kp3d"])
+    return metrics
+
+
+@functools.lru_cache(maxsize=8)
+def _synthetic_eval_fn(cfg: configs.TrainConfig, num_batches: int):
+    """One jitted eval graph per (cfg, num_batches) — cached across call
+    sites so repeated evals (e.g. inside a training loop) never recompile,
+    and the mean over batches accumulates on device via lax.scan."""
+
+    @jax.jit
+    def run(params, model_state, consts, key):
+        def body(carry, k):
+            batch = synthetic.generate_batch(
+                k, cfg.batch_size, consts, cfg.model, cfg.synthetic
+            )
+            m = _batch_metrics(params, model_state, consts, batch, cfg)
+            return carry, m
+
+        keys = jax.random.split(key, num_batches)
+        _, ms = jax.lax.scan(body, None, keys)
+        return {k: jnp.mean(v) for k, v in ms.items()}
+
+    return run
+
+
 def evaluate(
     params,
     model_state,
@@ -75,36 +134,58 @@ def evaluate(
     seed: int = 123,
 ) -> dict[str, float]:
     """Deterministic eval over the synthetic validation stream."""
+    run = _synthetic_eval_fn(cfg, num_batches)
+    out = run(params, model_state, consts, jax.random.PRNGKey(seed))
+    return {k: float(v) for k, v in out.items()}
+
+
+@functools.lru_cache(maxsize=8)
+def _dataset_eval_fn(cfg: configs.TrainConfig, has_gt: bool):
+    from indirect_learning_pose_shape_tpu import train
 
     @jax.jit
-    def eval_batch(key):
-        batch = synthetic.generate_batch(
-            key, cfg.batch_size, consts, cfg.model, cfg.synthetic
-        )
-        # train=False: metrics must reflect deployed inference behaviour
-        # (BatchNorm running stats, not per-eval-batch statistics).
-        outputs, _ = net.forward_train(
-            params, model_state, consts, batch["image"], cfg.model, train=False
-        )
-        gt = smpl_mod.smpl_forward(
-            consts.smpl, batch["gt_pose"], batch["gt_betas"], impl=cfg.model.smpl_impl
-        )
-        return {
-            "pve": pve(outputs["verts"], gt["verts"]),
-            "mpjpe": mpjpe(outputs["kp3d"], gt["kp3d"]),
-            "pa_mpjpe": pa_mpjpe(outputs["kp3d"], gt["kp3d"]),
-            "sil_iou": silhouette_iou_metric(
-                outputs["silhouette"], batch["silhouette"]
-            ),
-        }
+    def run(params, model_state, consts, raw):
+        batch = train.preprocess_raw_batch(raw, consts, cfg)
+        if has_gt:
+            batch = dict(batch, gt_pose=raw["gt_pose"], gt_betas=raw["gt_betas"])
+        return _batch_metrics(params, model_state, consts, batch, cfg)
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), num_batches)
+    return run
+
+
+def evaluate_dataset(
+    params,
+    model_state,
+    consts: net.ModelConsts,
+    cfg: configs.TrainConfig,
+    dataset,
+    max_batches: int | None = None,
+) -> dict[str, float]:
+    """Eval over a disk dataset (data/dataset.py NpzDataset, epoch 0 order).
+
+    Preprocessing is the training path's own on-device crop/resize
+    (train.preprocess_raw_batch), so the measurement matches what training
+    would see. 3D metrics (PVE/MPJPE/PA-MPJPE) are computed when the file
+    carries gt_pose/gt_betas; silhouette IoU and visible-keypoint pixel
+    error always. The ragged tail batch is dropped (as in training).
+    """
+    has_gt = "gt_pose" in dataset.arrays and "gt_betas" in dataset.arrays
+    run = _dataset_eval_fn(cfg, has_gt)
+    raw_keys = ("images", "masks", "kp2d", "kp_vis") + (
+        ("gt_pose", "gt_betas") if has_gt else ()
+    )
     acc: dict[str, float] = {}
-    for k in keys:
-        m = eval_batch(k)
+    n = 0
+    for raw in dataset.epoch(0):
+        m = run(params, model_state, consts, {k: raw[k] for k in raw_keys})
         for name, v in m.items():
-            acc[name] = acc.get(name, 0.0) + float(v) / num_batches
-    return acc
+            acc[name] = acc.get(name, 0.0) + float(v)
+        n += 1
+        if max_batches and n >= max_batches:
+            break
+    if n == 0:
+        raise ValueError("dataset yielded no full batches")
+    return {k: v / n for k, v in acc.items()}
 
 
 def main():
@@ -115,6 +196,12 @@ def main():
     ap.add_argument("--preset", default="config4_full", choices=sorted(configs.PRESETS))
     ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
     ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument(
+        "--dataset",
+        default=None,
+        help="score a .npz disk dataset (data/dataset.py format) instead of "
+        "the synthetic stream; 3D metrics appear when it has gt_pose/gt_betas",
+    )
     args = ap.parse_args()
 
     from indirect_learning_pose_shape_tpu.predict import load_model
@@ -122,7 +209,15 @@ def main():
 
     cfg = configs.PRESETS[args.preset]
     params, state, consts = load_model(cfg, args.checkpoint, assets_lib.load_asset())
-    metrics = evaluate(params, state, consts, cfg, num_batches=args.batches)
+    if args.dataset:
+        from indirect_learning_pose_shape_tpu.data.dataset import NpzDataset
+
+        ds = NpzDataset(args.dataset, cfg.batch_size, seed=cfg.seed)
+        metrics = evaluate_dataset(
+            params, state, consts, cfg, ds, max_batches=args.batches or None
+        )
+    else:
+        metrics = evaluate(params, state, consts, cfg, num_batches=args.batches)
     print(json.dumps({k: round(v, 5) for k, v in metrics.items()}))
 
 

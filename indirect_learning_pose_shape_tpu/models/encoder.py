@@ -56,11 +56,17 @@ def _bn_state_init(c):
 
 
 def _conv(x, w, stride=1):
+    # Explicit symmetric padding (k-1)//2 — torch's Conv2d alignment. For
+    # stride 1 and odd k this equals XLA SAME; for stride 2 on even inputs
+    # SAME pads asymmetrically (lo=(k-1)//2-?, hi more), shifting the grid
+    # one pixel vs torch. Symmetric padding keeps shapes identical AND makes
+    # imported torchvision weights bit-comparable (tools/import_resnet_weights).
+    p = (w.shape[0] - 1) // 2, (w.shape[1] - 1) // 2
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
-        padding="SAME",
+        padding=((p[0], p[0]), (p[1], p[1])),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 
@@ -73,23 +79,25 @@ def _stem_conv_s2d(x, w):
     fwd+bwd at B=32, 256²). Packing 2x2 pixel quads into channels turns it
     into a stride-1 4x4 conv over 12 channels — 4x the occupancy, same
     result: with the kernel zero-padded 7->8 and split by parity,
-        y[i,j] = Σ_{u,v} w[u,v]·x[2i+u−2, 2j+v−2]
+        y[i,j] = Σ_{u,v} w[u,v]·x[2i+u−3, 2j+v−3]
                = Σ_{u',v',a,b} w8[2u'+a, 2v'+b]·X[i+u', j+v', (a,b,:)]
     where X is the padded input with 2x2 blocks moved into channels. The
-    padding (lo=2, hi=4) reproduces XLA's SAME alignment for k=7, s=2 on
-    even sizes; the extra high row/column falls outside every kernel
-    window. Gradients flow through the rearrangement as plain autodiff.
+    padding (lo=4, hi=2) with the kernel zero-padded at the FRONT (7->8)
+    reproduces torch's symmetric pad=3 alignment for k=7, s=2 on even sizes
+    (y[i] = Σ_u w[u]·x[2i+u-3] = Σ_{u8} w8[u8]·x[2(i+u'-2)+a] with
+    u8=u+1=2u'+a); the extra rows/columns fall outside every kernel window.
+    Gradients flow through the rearrangement as plain autodiff.
     """
     B, H, W, Cin = x.shape
     C = w.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (2, 4), (2, 4), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (4, 2), (4, 2), (0, 0)))
     Hp, Wp = xp.shape[1] // 2, xp.shape[2] // 2
     X = (
         xp.reshape(B, Hp, 2, Wp, 2, Cin)
         .transpose(0, 1, 3, 2, 4, 5)
         .reshape(B, Hp, Wp, 4 * Cin)
     )
-    w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
     w4 = (
         w8.reshape(4, 2, 4, 2, Cin, C)
         .transpose(0, 2, 1, 3, 4, 5)
@@ -218,8 +226,15 @@ def encoder_apply(
         x, params["bn_stem"], state["bn_stem"], train, cfg.bn_momentum, cfg.bn_eps
     )
     x = jax.nn.relu(x)
+    # Max-pool k=3 s=2 with symmetric pad 1 (torch alignment; SAME would pad
+    # lo=0/hi=1 on even inputs — same shape, one-pixel shift).
     x = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        (1, 3, 3, 1),
+        (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
     )
     for stage, n in enumerate(blocks):
         for b in range(n):

@@ -136,19 +136,23 @@ def _fwd_planar(consts, betas, pose_feat, rel):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+# `consts` is a regular (differentiable) argument with an explicit zero
+# cotangent — NOT nondiff_argnums: array-valued nondiff args break the
+# moment a caller passes consts through a jit boundary (tracers are
+# forbidden in nondiff positions), e.g. evaluate.py's cached eval graphs.
+@jax.custom_vjp
 def _lbs(consts, betas, pose_feat, rel):
     return _fwd_planar(consts, betas, pose_feat, rel)[0]
 
 
 def _lbs_fwd(consts, betas, pose_feat, rel):
     verts, v_posed, t = _fwd_planar(consts, betas, pose_feat, rel)
-    return verts, (rel.shape, v_posed, t)
+    return verts, (consts, rel.shape, v_posed, t)
 
 
-def _lbs_bwd(consts, res, g):
+def _lbs_bwd(res, g):
     """XLA backward from kernel residuals (v_posed, T) — pure einsums."""
-    rel_shape, v_posed, t = res
+    consts, rel_shape, v_posed, t = res
     B = v_posed.shape[0]
     Kb = consts.num_betas
     Kp = consts.posedirs_flat.shape[0]
@@ -169,7 +173,10 @@ def _lbs_bwd(consts, res, g):
     d_vposed = jnp.einsum("bcjv,bcv->bjv", rot, g, precision=_HI)
     d_betas = jnp.einsum("bcv,kcv->bk", d_vposed, sd, precision=_HI)
     d_pf = jnp.einsum("bcv,kcv->bk", d_vposed, pd, precision=_HI)
-    return d_betas, d_pf, d_rel
+    # Asset tensors are constants in every caller; zero cotangents are
+    # constant-folded (and discarded) by XLA.
+    d_consts = jax.tree.map(jnp.zeros_like, consts)
+    return d_consts, d_betas, d_pf, d_rel
 
 
 _lbs.defvjp(_lbs_fwd, _lbs_bwd)

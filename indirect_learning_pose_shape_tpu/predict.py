@@ -109,9 +109,17 @@ def main():
     ap.add_argument("--demo", action="store_true", help="use synthetic demo images")
     ap.add_argument("--num", type=int, default=2, help="images to process")
     ap.add_argument("--out", default="/tmp/ilps_vis", help="output directory")
+    ap.add_argument(
+        "--pretrained",
+        default=None,
+        help="backbone npz from tools/import_resnet_weights.py (used when "
+        "no --checkpoint is given)",
+    )
     args = ap.parse_args()
 
     cfg = configs.PRESETS[args.preset]
+    if args.pretrained:
+        cfg = dataclasses.replace(cfg, pretrained=args.pretrained)
     asset = assets_lib.load_asset()
     params, state, consts = load_model(cfg, args.checkpoint, asset)
     size = cfg.model.image_size

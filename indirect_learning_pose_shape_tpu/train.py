@@ -71,6 +71,10 @@ def init_state(cfg: configs.TrainConfig, asset=None):
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_run = jax.random.split(key)
     params, model_state, consts = net.init(k_init, asset, cfg.model)
+    if cfg.pretrained:
+        params, model_state = _load_pretrained_encoder(
+            cfg.pretrained, cfg.model.encoder, params, model_state
+        )
     opt_state = make_optimizer(cfg).init(params)
     ts = TrainState(
         params=params,
@@ -80,6 +84,34 @@ def init_state(cfg: configs.TrainConfig, asset=None):
         rng=k_run,
     )
     return ts, consts
+
+
+def _load_pretrained_encoder(path: str, enc_cfg, params: dict, state: dict):
+    """Swap the encoder subtree for imported ImageNet weights (SURVEY.md §2.4).
+
+    The npz comes from tools/import_resnet_weights.py (torchvision state
+    dict -> our pytree). Shape agreement with the freshly-initialized trees
+    doubles as the architecture check (depth/width must match the file).
+    """
+    from indirect_learning_pose_shape_tpu.models.pretrained import load_encoder_npz
+
+    enc_params, enc_state, depth = load_encoder_npz(path)
+    if depth != enc_cfg.depth:
+        raise ValueError(
+            f"pretrained file {path!r} is a ResNet-{depth}; the config asks "
+            f"for depth {enc_cfg.depth}"
+        )
+    ref = params["encoder"]
+    got_shapes = jax.tree.map(lambda x: x.shape, enc_params)
+    ref_shapes = jax.tree.map(lambda x: x.shape, ref)
+    if got_shapes != ref_shapes:
+        raise ValueError(
+            f"pretrained encoder shapes do not match the configured encoder "
+            f"(width {enc_cfg.width}?): {got_shapes} vs {ref_shapes}"
+        )
+    params = dict(params, encoder=jax.tree.map(jnp.asarray, enc_params))
+    state = dict(state, encoder=jax.tree.map(jnp.asarray, enc_state))
+    return params, state
 
 
 def loss_and_metrics(params, model_state, consts, batch, cfg: configs.TrainConfig):
@@ -278,7 +310,9 @@ def fit_preprocessed(
     batches = prefetch_to_device(
         dataset.batches(start_step=start), size=2, sharding=sharding
     )
-    writer = MetricsWriter(metrics_path or cfg.metrics_path)
+    writer = MetricsWriter(
+        metrics_path or cfg.metrics_path, tensorboard_dir=cfg.tensorboard_dir
+    )
     terms = {}
     for i in range(start, max(num_steps, start)):
         ts, terms = step_fn(ts, next(batches))
@@ -328,7 +362,9 @@ def fit_dataset(
         {k: b[k] for k in raw_keys} for b in dataset.batches(start_step=start)
     )
     batches = prefetch_to_device(raw_iter, size=2, sharding=sharding)
-    writer = MetricsWriter(metrics_path or cfg.metrics_path)
+    writer = MetricsWriter(
+        metrics_path or cfg.metrics_path, tensorboard_dir=cfg.tensorboard_dir
+    )
     terms = {}
     for i in range(start, max(num_steps, start)):
         ts, terms = step_fn(ts, next(batches))
@@ -366,7 +402,9 @@ def fit(
 
     fused_fn = compile_fused_step(cfg, consts, mesh)
 
-    writer = MetricsWriter(metrics_path or cfg.metrics_path)
+    writer = MetricsWriter(
+        metrics_path or cfg.metrics_path, tensorboard_dir=cfg.tensorboard_dir
+    )
     terms = {}
     # `num_steps` is the TOTAL step budget: a resumed run (start > 0) trains
     # only the remaining steps, so crash + rerun lands on the same endpoint.
@@ -416,6 +454,17 @@ def main():
     )
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument(
+        "--pretrained",
+        default=None,
+        help="ImageNet-pretrained backbone npz from "
+        "tools/import_resnet_weights.py (SURVEY.md §2.4)",
+    )
+    ap.add_argument(
+        "--tensorboard",
+        default=None,
+        help="directory for TensorBoard event files (utils/metrics.py)",
+    )
     args = ap.parse_args()
 
     cfg = configs.PRESETS[args.preset]
@@ -428,6 +477,10 @@ def main():
         updates["checkpoint_every"] = args.checkpoint_every
     if args.checkpoint_dir:
         updates["checkpoint_dir"] = args.checkpoint_dir
+    if args.pretrained:
+        updates["pretrained"] = args.pretrained
+    if args.tensorboard:
+        updates["tensorboard_dir"] = args.tensorboard
     if args.image_size:
         import dataclasses as dc
 

@@ -47,8 +47,35 @@ def test_evaluate_runs_on_model(tiny_asset):
     cfg = tiny_train_cfg()
     ts, consts = train.init_state(cfg, tiny_asset)
     metrics = evaluate.evaluate(ts.params, ts.model_state, consts, cfg, num_batches=1)
-    for k in ("pve", "mpjpe", "pa_mpjpe", "sil_iou"):
+    for k in ("pve", "mpjpe", "pa_mpjpe", "sil_iou", "kp_err_px"):
         assert np.isfinite(metrics[k]), metrics
+    # Deterministic at fixed seed; jit graph is shared across calls.
+    again = evaluate.evaluate(ts.params, ts.model_state, consts, cfg, num_batches=1)
+    assert metrics == again
+
+
+def test_evaluate_dataset_with_and_without_gt(tiny_asset):
+    from indirect_learning_pose_shape_tpu.data.dataset import (
+        NpzDataset,
+        make_synthetic_dataset,
+    )
+
+    cfg = tiny_train_cfg()
+    arrays = make_synthetic_dataset(
+        None, num_examples=8, source_size=48, seed=5, asset=tiny_asset
+    )
+    ts, consts = train.init_state(cfg, tiny_asset)
+
+    ds = NpzDataset(arrays, batch_size=4)
+    m = evaluate.evaluate_dataset(ts.params, ts.model_state, consts, cfg, ds)
+    for k in ("pve", "mpjpe", "pa_mpjpe", "sil_iou", "kp_err_px"):
+        assert np.isfinite(m[k]), m
+
+    # Without stored GT params, only image-space metrics appear.
+    no_gt = {k: v for k, v in arrays.items() if not k.startswith("gt_")}
+    ds2 = NpzDataset(no_gt, batch_size=4)
+    m2 = evaluate.evaluate_dataset(ts.params, ts.model_state, consts, cfg, ds2)
+    assert "pve" not in m2 and np.isfinite(m2["sil_iou"]) and np.isfinite(m2["kp_err_px"])
 
 
 def test_perspective_projection_basic():
