@@ -66,11 +66,13 @@ def main():
     vs_baseline = float("nan")
     try:
         cpu = jax.devices("cpu")[0]
-        # Identical per-image workload (256², full model). ≥3 timed steps
-        # after ≥2 warmups so the denominator is a steady-state measurement,
-        # not one noisy step (the ratio must reproduce within ±5%).
+        # Identical per-image workload (256², full model). Batch 1 with one
+        # warmup + two timed steps: on this 1-core host a single CPU step is
+        # a ~25 s average over billions of ops, so two steps give a stable
+        # (±5%) denominator at a runtime the bench budget can afford
+        # (batch 4 × 3 steps costs >10 min of CPU here).
         cpu_imgs_per_sec = _throughput(
-            cpu, batch_size=4, steps=3, warmup=2, force_xla=True
+            cpu, batch_size=1, steps=2, warmup=1, force_xla=True
         )
         vs_baseline = accel_imgs_per_sec / cpu_imgs_per_sec
     except Exception as e:  # CPU backend unavailable: report accel number only

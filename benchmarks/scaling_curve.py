@@ -6,9 +6,15 @@ Real multi-chip hardware is unavailable (one tunneled chip), so the
 run: N virtual CPU devices via `jax_num_cpu_devices`. Each mesh size runs
 in its own subprocess (a backend can only be provisioned once per process)
 and trains the config-5 step at a fixed PER-DEVICE batch (weak scaling —
-the deployment regime: more chips, more global batch). The printed table
-is normalized throughput; on ICI hardware the all-reduce is faster than
-this CPU emulation, so the curve is a lower bound on scaling efficiency.
+the deployment regime: more chips, more global batch).
+
+Interpretation: the virtual devices SHARE the same physical cores, so a
+speedup is impossible by construction — what the curve measures is the
+OVERHEAD the sharded program adds (partitioning, emulated collectives).
+Per-image work is constant, so perfectly-sharded weak scaling keeps total
+images/sec flat as the mesh grows; the table reports throughput retention
+vs the 1-device run. On real ICI the collectives are faster than this
+host emulation, so retention here lower-bounds hardware efficiency.
 
     python benchmarks/scaling_curve.py [--devices 1 2 4 8] [--steps 8]
 """
@@ -101,11 +107,14 @@ def main():
         rows.append(row)
         print(json.dumps(row))
 
-    base = rows[0]["images_per_sec"] / rows[0]["devices"]
-    print("\n| devices | global batch | step ms | images/sec | scaling efficiency |")
+    base = rows[0]["images_per_sec"]
+    print(
+        "\n| devices | global batch | step ms | images/sec "
+        "| throughput retention vs 1 dev |"
+    )
     print("|---|---|---|---|---|")
     for r in rows:
-        eff = r["images_per_sec"] / (base * r["devices"])
+        eff = r["images_per_sec"] / base
         print(
             f"| {r['devices']} | {r['global_batch']} | {r['step_ms']} "
             f"| {r['images_per_sec']} | {eff * 100:.0f}% |"

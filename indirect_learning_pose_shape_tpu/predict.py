@@ -65,6 +65,38 @@ def render_silhouette(outputs, consts, cfg: configs.TrainConfig):
     return raster.soft_rasterize(verts2d, consts.part_layout, cfg.model.raster)
 
 
+def load_image_files(
+    image_paths: list, mask_paths: Optional[list], size: int
+) -> np.ndarray:
+    """Arbitrary image files -> [B, size, size, 3] float32 in [-1, 1].
+
+    With masks, the person crop box comes from the mask's nonzero extent
+    (exactly the training-data crop); without, a full-frame centre square.
+    """
+    from indirect_learning_pose_shape_tpu.data import native_preprocess as npp
+    from indirect_learning_pose_shape_tpu.data.image_dir import (
+        _imread_mask,
+        _imread_rgb,
+    )
+
+    imgs = [_imread_rgb(p) for p in image_paths]
+    if mask_paths:
+        if len(mask_paths) != len(image_paths):
+            raise ValueError("--mask count must match --image count")
+        bboxes = np.stack([npp.bbox_from_mask(_imread_mask(p)) for p in mask_paths])
+    else:
+        bboxes = np.stack(
+            [
+                np.array(
+                    [im.shape[0] / 2.0, im.shape[1] / 2.0, max(im.shape[:2])],
+                    np.float32,
+                )
+                for im in imgs
+            ]
+        )
+    return npp.crop_resize_normalize(imgs, bboxes, size)
+
+
 def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
     """Minimal Wavefront OBJ export of the predicted mesh."""
     with open(path, "w") as f:
@@ -106,6 +138,20 @@ def main():
     ap.add_argument("--preset", default="config4_full", choices=sorted(configs.PRESETS))
     ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
     ap.add_argument("--dataset", default=None, help=".npz dataset to read images from")
+    ap.add_argument(
+        "--image",
+        nargs="+",
+        default=None,
+        help="arbitrary image file(s) (png/jpg); cropped from --mask when "
+        "given, else a full-frame centre square",
+    )
+    ap.add_argument(
+        "--mask",
+        nargs="+",
+        default=None,
+        help="optional silhouette/part mask PNG(s), one per --image, used "
+        "to derive the person crop box",
+    )
     ap.add_argument("--demo", action="store_true", help="use synthetic demo images")
     ap.add_argument("--num", type=int, default=2, help="images to process")
     ap.add_argument("--out", default="/tmp/ilps_vis", help="output directory")
@@ -124,7 +170,9 @@ def main():
     params, state, consts = load_model(cfg, args.checkpoint, asset)
     size = cfg.model.image_size
 
-    if args.dataset:
+    if args.image:
+        images = jnp.asarray(load_image_files(args.image, args.mask, size))
+    elif args.dataset:
         from indirect_learning_pose_shape_tpu.data import native_preprocess as npp
         from indirect_learning_pose_shape_tpu.data.dataset import NpzDataset
 

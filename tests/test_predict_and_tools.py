@@ -51,6 +51,37 @@ def test_predict_demo_end_to_end(tmp_path, monkeypatch):
     assert os.path.getsize(os.path.join(out, "o.png")) > 1000
 
 
+def test_load_image_files(tmp_path):
+    """predict --image path: arbitrary files, with and without masks."""
+    from PIL import Image
+
+    from indirect_learning_pose_shape_tpu import predict
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (80, 60, 3), np.uint8)
+    mask = np.zeros((80, 60), np.uint8)
+    mask[20:60, 15:45] = 3  # person blob occupying a sub-box
+    ip = str(tmp_path / "person.png")
+    mp = str(tmp_path / "mask.png")
+    Image.fromarray(img).save(ip)
+    Image.fromarray(mask).save(mp)
+
+    out = predict.load_image_files([ip], [mp], size=32)
+    assert out.shape == (1, 32, 32, 3) and out.dtype == np.float32
+    assert -1.0 <= out.min() and out.max() <= 1.0
+
+    # No mask: full-frame centre square; grayscale jpgs broadcast to RGB.
+    out2 = predict.load_image_files([ip], None, size=32)
+    assert out2.shape == (1, 32, 32, 3)
+    # Mask crop zooms into the blob -> different pixels than full frame.
+    assert np.abs(out - out2).max() > 0.05
+
+    import pytest
+
+    with pytest.raises(ValueError, match="count"):
+        predict.load_image_files([ip], [mp, mp], size=32)
+
+
 def _fake_chumpy_pkl(path, asset):
     """Write a pkl mimicking the chumpy-era SMPL format (chumpy Ch objects).
 
