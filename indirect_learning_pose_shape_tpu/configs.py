@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 
+from indirect_learning_pose_shape_tpu.data.augment import AugmentConfig
 from indirect_learning_pose_shape_tpu.data.synthetic import SyntheticConfig
 from indirect_learning_pose_shape_tpu.models.encoder import EncoderConfig
 from indirect_learning_pose_shape_tpu.models.ief import IEFConfig
@@ -21,6 +22,9 @@ from indirect_learning_pose_shape_tpu.ops.raster import RasterConfig
 class TrainConfig:
     model: ModelConfig = ModelConfig()
     synthetic: SyntheticConfig = SyntheticConfig()
+    # Disk-data augmentation (mirror + crop jitter, data/augment.py);
+    # applies to --dataset training, not the synthetic stream.
+    augment: AugmentConfig = AugmentConfig()
     batch_size: int = 32
     learning_rate: float = 1e-4
     lr_schedule: str = "constant"  # 'constant' | 'cosine' (warmup + decay)

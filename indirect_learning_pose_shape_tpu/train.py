@@ -197,17 +197,29 @@ def compile_fused_step(cfg: configs.TrainConfig, consts, mesh=None):
     return jax.jit(fused, donate_argnums=0)
 
 
-def preprocess_raw_batch(raw: dict, consts, cfg: configs.TrainConfig) -> dict:
+def preprocess_raw_batch(
+    raw: dict, consts, cfg: configs.TrainConfig, key: Optional[jax.Array] = None
+) -> dict:
     """On-device preprocessing of a raw disk batch (SURVEY.md §2.8).
 
     raw: images [B,Hs,Ws,3] uint8, masks [B,Hs,Ws] int, kp2d [B,K,2] source
     pixels, kp_vis [B,K]. Crop box derived from the mask, applied to image,
     mask, and keypoints entirely in-graph (jitted with the train step).
+    With cfg.augment.enabled and a key, random mirror + crop jitter run
+    on-device first (data/augment.py); eval paths pass no key and stay
+    deterministic.
     """
+    from indirect_learning_pose_shape_tpu.data import augment as aug
     from indirect_learning_pose_shape_tpu.data import preprocess as pp
 
     size = cfg.model.image_size
-    bboxes = jax.vmap(pp.bbox_from_mask)(raw["masks"])
+    if cfg.augment.enabled and key is not None:
+        k_flip, k_box = jax.random.split(key)
+        raw = aug.mirror_raw_batch(raw, k_flip, cfg.augment)
+        bboxes = jax.vmap(pp.bbox_from_mask)(raw["masks"])
+        bboxes = aug.jitter_bboxes(bboxes, k_box, cfg.augment)
+    else:
+        bboxes = jax.vmap(pp.bbox_from_mask)(raw["masks"])
     images = pp.normalize(pp.crop_resize(raw["images"], bboxes, size))
     masks = pp.crop_resize_mask(raw["masks"], bboxes, size)
     num_classes = cfg.model.raster.num_parts + 1
@@ -222,8 +234,11 @@ def preprocess_raw_batch(raw: dict, consts, cfg: configs.TrainConfig) -> dict:
 
 
 def data_train_step(ts: TrainState, raw: dict, consts, cfg: configs.TrainConfig):
-    """Train step over a raw disk batch: on-device preprocess + update."""
-    batch = preprocess_raw_batch(raw, consts, cfg)
+    """Train step over a raw disk batch: on-device (augment+)preprocess +
+    update. The augmentation key is step-indexed from the run RNG, so a
+    resumed run replays the exact same flips/jitters it would have seen."""
+    key = jax.random.fold_in(ts.rng, ts.step)
+    batch = preprocess_raw_batch(raw, consts, cfg, key=key)
     return train_step(ts, batch, consts, cfg)
 
 
@@ -455,6 +470,12 @@ def main():
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument(
+        "--augment",
+        action="store_true",
+        help="random mirror + crop jitter on disk-data training "
+        "(data/augment.py; on-device, resume-deterministic)",
+    )
+    ap.add_argument(
         "--pretrained",
         default=None,
         help="ImageNet-pretrained backbone npz from "
@@ -477,6 +498,10 @@ def main():
         updates["checkpoint_every"] = args.checkpoint_every
     if args.checkpoint_dir:
         updates["checkpoint_dir"] = args.checkpoint_dir
+    if args.augment:
+        from indirect_learning_pose_shape_tpu.data.augment import AugmentConfig
+
+        updates["augment"] = AugmentConfig(enabled=True)
     if args.pretrained:
         updates["pretrained"] = args.pretrained
     if args.tensorboard:
