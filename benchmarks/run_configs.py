@@ -3,10 +3,13 @@
 
 Prints one JSON line per config. `bench.py` at the repo root is the driver's
 single-number entry point (config 4); this script fills in the full table in
-BASELINE.md. Run on the accelerator (default backend); config 1 additionally
-reports the single-image CPU latency floor.
+BASELINE.md. Run on the accelerator (default backend).
 
-    python benchmarks/run_configs.py [--quick]
+Each compile costs minutes on this tunneled stack and the config-1 CPU
+latency floor costs minutes more on a 1-core host, so configs are
+individually selectable and the CPU floor runs last:
+
+    python benchmarks/run_configs.py [--quick] [--skip-cpu] [--only 2 3]
 """
 
 from __future__ import annotations
@@ -36,26 +39,17 @@ def _timeit(fn, *args, steps=20, warmup=2):
 
 
 def _emit(name, value, unit, **extra):
-    print(json.dumps({"config": name, "value": round(value, 3), "unit": unit, **extra}))
+    print(
+        json.dumps({"config": name, "value": round(value, 3), "unit": unit, **extra}),
+        flush=True,
+    )
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true", help="fewer timing steps")
-    args = ap.parse_args()
-    steps = 5 if args.quick else 20
-
+def config1_cpu_floor(asset, steps):
+    """Single 256² crop forward, batch 1, host-CPU latency floor."""
     from indirect_learning_pose_shape_tpu import configs, train
     from indirect_learning_pose_shape_tpu.models import network as net
-    from indirect_learning_pose_shape_tpu.models import smpl as smpl_mod
-    from indirect_learning_pose_shape_tpu.ops import camera, raster
-    from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
 
-    asset = assets_lib.load_asset()
-    dev = jax.devices()[0]
-    print(f"# device: {dev}", file=sys.stderr)
-
-    # ---- Config 1: single 256² crop forward, batch 1, CPU latency floor ----
     cfg1 = configs.CONFIG1_SINGLE
     try:
         cpu = jax.devices("cpu")[0]
@@ -72,7 +66,12 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# config1 cpu failed: {e}", file=sys.stderr)
 
-    # ---- Config 2: batched SMPL forward + projection, batch 64 ----
+
+def config2_smpl_batch(asset, steps):
+    """Batched SMPL forward + weak-perspective projection, batch 64."""
+    from indirect_learning_pose_shape_tpu.models import smpl as smpl_mod
+    from indirect_learning_pose_shape_tpu.ops import camera
+
     consts2 = smpl_mod.smpl_consts(asset)
     pose = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (64, 72))
     betas = jax.random.normal(jax.random.PRNGKey(1), (64, 10))
@@ -85,15 +84,21 @@ def main():
     dt = _timeit(jax.jit(smpl_proj), pose, betas, steps=steps)
     _emit("config2_smpl_batch64", 64 / dt, "SMPL fwd images/sec")
 
-    # ---- Config 3: differentiable render 256² + IoU/BCE loss, batch 32 ----
-    from indirect_learning_pose_shape_tpu import losses
+
+def config3_render(asset, steps):
+    """Differentiable render 256² + IoU/BCE loss fwd+bwd, batch 32."""
+    from indirect_learning_pose_shape_tpu import configs, losses
+    from indirect_learning_pose_shape_tpu.models import network as net
+    from indirect_learning_pose_shape_tpu.models import smpl as smpl_mod
+    from indirect_learning_pose_shape_tpu.ops import camera, raster
 
     cfg3 = configs.CONFIG3_RENDER
     consts3 = net.build_consts(asset, cfg3.model)
+    pose = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (32, 72))
+    betas = jax.random.normal(jax.random.PRNGKey(1), (32, 10))
+    cam = jnp.tile(jnp.array([0.9, 0.0, 0.0]), (32, 1))
     v2d = camera.project_pixel(
-        smpl_mod.smpl_forward(consts3.smpl, pose[:32], betas[:32])["verts"],
-        cam[:32],
-        256,
+        smpl_mod.smpl_forward(consts3.smpl, pose, betas)["verts"], cam, 256
     )
     target = (jax.random.uniform(jax.random.PRNGKey(2), (32, 256, 256)) > 0.5).astype(
         jnp.float32
@@ -108,7 +113,11 @@ def main():
     dt = _timeit(jax.jit(jax.value_and_grad(render_loss)), v2d, steps=steps)
     _emit("config3_render_b32", 32 / dt, "render fwd+bwd images/sec")
 
-    # ---- Config 4: full indirect train step (the bench.py headline) ----
+
+def config4_full_train(asset, steps):
+    """Full indirect train step (the bench.py headline), batch 32."""
+    from indirect_learning_pose_shape_tpu import configs, train
+
     cfg4 = dataclasses.replace(configs.CONFIG4_FULL, batch_size=32)
     ts, consts4 = train.init_state(cfg4, asset)
     gen_fn, step_fn = train.compile_train_fns(cfg4, consts4)
@@ -126,13 +135,20 @@ def main():
         ts = one_step(ts)
     jax.block_until_ready(ts.params)
     dt = (time.perf_counter() - t0) / steps
-    _emit("config4_full_train_b32", 32 / dt, "train images/sec/chip",
-          steps_per_sec=round(1 / dt, 3))
+    _emit(
+        "config4_full_train_b32",
+        32 / dt,
+        "train images/sec/chip",
+        steps_per_sec=round(1 / dt, 3),
+    )
 
-    # ---- Config 5: data-parallel mesh (all local devices) ----
-    ndev = len(jax.devices())
+
+def config5_data_parallel(asset, steps):
+    """Data-parallel train step over all local devices."""
+    from indirect_learning_pose_shape_tpu import configs, train
     from indirect_learning_pose_shape_tpu.parallel import mesh as mesh_lib
 
+    ndev = len(jax.devices())
     cfg5 = dataclasses.replace(
         configs.CONFIG5_DATA_PARALLEL, batch_size=32 * ndev, num_devices=ndev
     )
@@ -160,6 +176,44 @@ def main():
         f"train images/sec over {ndev} device(s)",
         per_chip=round(cfg5.batch_size / dt / ndev, 3),
     )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer timing steps")
+    ap.add_argument(
+        "--skip-cpu", action="store_true", help="skip the config-1 CPU latency floor"
+    )
+    ap.add_argument(
+        "--only",
+        type=int,
+        nargs="+",
+        default=None,
+        help="run only these config numbers",
+    )
+    args = ap.parse_args()
+    steps = 5 if args.quick else 20
+
+    from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
+
+    asset = assets_lib.load_asset()
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+
+    def want(n):
+        return args.only is None or n in args.only
+
+    # TPU configs first; the (slow, 1-core) CPU floor last so the
+    # accelerator numbers are never hostage to it.
+    if want(2):
+        config2_smpl_batch(asset, steps)
+    if want(3):
+        config3_render(asset, steps)
+    if want(4):
+        config4_full_train(asset, steps)
+    if want(5):
+        config5_data_parallel(asset, steps)
+    if want(1) and not args.skip_cpu:
+        config1_cpu_floor(asset, steps)
 
 
 if __name__ == "__main__":
