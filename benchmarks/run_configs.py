@@ -143,6 +143,27 @@ def config4_full_train(asset, steps):
     )
 
 
+def config6_inference(asset, steps):
+    """Flagship inference throughput (BASELINE.json:2 images/sec/chip):
+    full forward — encoder → IEF → SMPL → projection — batch 64, no raster
+    (the rasterizer is training-only supervision machinery, SURVEY §3.2)."""
+    from indirect_learning_pose_shape_tpu import configs, train
+    from indirect_learning_pose_shape_tpu.models import network as net
+
+    cfg = dataclasses.replace(configs.CONFIG2_SMPL_BATCH, batch_size=64)
+    ts, consts = train.init_state(cfg, asset)
+    fwd = jax.jit(
+        lambda p, s, im: net.forward(p, s, consts, im, cfg.model, train=False)[0][
+            "kp2d"
+        ]
+    )
+    img = jax.random.uniform(
+        jax.random.PRNGKey(3), (64, 256, 256, 3), minval=-1.0, maxval=1.0
+    )
+    dt = _timeit(fwd, ts.params, ts.model_state, img, steps=steps)
+    _emit("config6_inference_b64", 64 / dt, "inference images/sec/chip")
+
+
 def config5_data_parallel(asset, steps):
     """Data-parallel train step over all local devices."""
     from indirect_learning_pose_shape_tpu import configs, train
@@ -212,6 +233,8 @@ def main():
         config4_full_train(asset, steps)
     if want(5):
         config5_data_parallel(asset, steps)
+    if want(6):
+        config6_inference(asset, steps)
     if want(1) and not args.skip_cpu:
         config1_cpu_floor(asset, steps)
 

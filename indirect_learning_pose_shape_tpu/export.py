@@ -1,0 +1,51 @@
+"""Serialized-model export: the TPU-native deployment story (SURVEY.md
+§2.11/§2.12 — the reference ships Keras .hdf5 weights plus Python graph
+code; the rebuild ships ONE self-contained StableHLO artifact).
+
+`jax.export` lowers the jitted inference forward — preprocessed image in,
+(theta, verts, kp2d) out — to StableHLO with the trained parameters baked
+in as constants, serialized to portable bytes. A serving host deserializes
+with `jax.export.deserialize(...)` and calls it like a function — no model
+code, no Python package, no pickle — and one artifact can embed lowerings
+for several platforms (tpu/cpu/cuda), checked at call time.
+
+CLI front-end: tools/export_model.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from indirect_learning_pose_shape_tpu import configs
+from indirect_learning_pose_shape_tpu.models import network as net
+
+
+def export_forward(
+    cfg: configs.TrainConfig,
+    params,
+    state,
+    consts,
+    batch: int,
+    platforms=None,
+) -> bytes:
+    """Serialize the inference forward with weights baked in. Returns bytes."""
+    from jax import export as jax_export
+
+    size = cfg.model.image_size
+
+    def forward(images):
+        outputs, _ = net.forward(params, state, consts, images, cfg.model, train=False)
+        return outputs["theta"], outputs["verts"], outputs["kp2d"]
+
+    spec = jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32)
+    exp = jax_export.export(
+        jax.jit(forward),
+        platforms=platforms or ["tpu", "cpu"],
+    )(spec)
+    return exp.serialize()
+
+
+def load_exported(blob: bytes):
+    """Deserialize an exported artifact; returns a callable(images)."""
+    return jax.export.deserialize(bytearray(blob)).call

@@ -1,0 +1,57 @@
+"""Export the flagship forward pass as a serialized StableHLO artifact.
+
+Thin CLI over indirect_learning_pose_shape_tpu/export.py (see its docstring
+for the deployment contract).
+
+    python tools/export_model.py out.stablehlo --preset config4_full \
+        [--checkpoint ckpt_dir] [--batch 1]
+    # serving side:
+    #   fn = jax.export.deserialize(open('out.stablehlo','rb').read()).call
+    #   theta, verts, kp2d = fn(images)   # images [B, S, S, 3] in [-1, 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out", help="output artifact path")
+    ap.add_argument("--preset", default="config4_full")
+    ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    ap.add_argument("--pretrained", default=None, help="backbone npz")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument(
+        "--platforms",
+        nargs="+",
+        default=["tpu", "cpu"],
+        help="lowering platforms embedded in the artifact",
+    )
+    args = ap.parse_args()
+
+    from indirect_learning_pose_shape_tpu import configs
+    from indirect_learning_pose_shape_tpu.export import export_forward
+    from indirect_learning_pose_shape_tpu.predict import load_model
+    from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
+
+    cfg = configs.PRESETS[args.preset]
+    if args.pretrained:
+        cfg = dataclasses.replace(cfg, pretrained=args.pretrained)
+    params, state, consts = load_model(cfg, args.checkpoint, assets_lib.load_asset())
+    blob = export_forward(cfg, params, state, consts, args.batch, args.platforms)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(
+        f"wrote {args.out}: {len(blob) / 1e6:.1f} MB, batch {args.batch}, "
+        f"platforms {args.platforms}"
+    )
+
+
+if __name__ == "__main__":
+    main()
