@@ -10,6 +10,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from indirect_learning_pose_shape_tpu.data import augment as aug
 
@@ -78,6 +79,7 @@ def test_jitter_bboxes_bounds(rng):
     assert np.std(out[:, 2]) > 1.0  # actually random
 
 
+@pytest.mark.slow
 def test_train_step_with_augmentation(tiny_asset):
     """data_train_step compiles + runs with augmentation enabled, and the
     augmentation key is step-indexed (same ts -> same batch transform)."""

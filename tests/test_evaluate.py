@@ -54,6 +54,7 @@ def test_evaluate_runs_on_model(tiny_asset):
     assert metrics == again
 
 
+@pytest.mark.slow
 def test_evaluate_dataset_with_and_without_gt(tiny_asset):
     from indirect_learning_pose_shape_tpu.data.dataset import (
         NpzDataset,

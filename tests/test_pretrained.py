@@ -122,7 +122,10 @@ def _torch_resnet_features(sd: dict, x_nhwc: np.ndarray, depth: int) -> np.ndarr
     return x.mean(dim=(2, 3)).numpy()
 
 
-@pytest.mark.parametrize("depth", [18, 50])
+@pytest.mark.parametrize(
+    "depth",
+    [18, pytest.param(50, marks=pytest.mark.slow)],  # -50 is the 45 s variant
+)
 def test_imported_features_match_torch(depth):
     sd = _fake_torchvision_sd(depth)
     params, state = pt.map_state_dict(sd, depth)
@@ -145,6 +148,7 @@ def test_imported_features_match_torch(depth):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_npz_roundtrip_and_init_state(tmp_path):
     sd = _fake_torchvision_sd(18, seed=3)
     params, state = pt.map_state_dict(sd, 18)
