@@ -146,7 +146,7 @@ def _chunk_size(total: int, requested: int) -> int:
 
 
 def _raster_scores_separable(
-    verts2d: jax.Array, layout: PartLayout, cfg: RasterConfig
+    verts2d: jax.Array, layout: PartLayout, cfg: RasterConfig, constrain=None
 ) -> jax.Array:
     """Separable-Gaussian scores: the whole rasterizer as batched MXU matmuls.
 
@@ -183,12 +183,21 @@ def _raster_scores_separable(
     r = jnp.arange(size, dtype=verts2d.dtype)
     fx = jnp.exp(-jnp.square(r[None, None, None, :] - v[..., 0:1]) * inv_two_sigma2)
     fy = jnp.exp(-jnp.square(r[None, None, None, :] - v[..., 1:2]) * inv_two_sigma2)
+    # Sharding hook (parallel/render_sp.py): `constrain(name, x)` annotates
+    # fy's row dim / the score's H dim for spatially-parallel rendering.
+    # The contraction is over s, not h, so a row-sharded fy yields a
+    # row-sharded score with NO collective in the forward; the backward's
+    # dfx all-reduce over rows is inserted by XLA from these annotations.
+    if constrain is not None:
+        fy, fx = constrain("fy", fy), constrain("fx", fx)
     prec = {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
     }[cfg.matmul_precision]
     score = jnp.einsum("bcsh,bcsw->bchw", fy, fx, precision=prec)
+    if constrain is not None:
+        score = constrain("score_bchw", score)
     return jnp.moveaxis(score.reshape(B, C, size * size), 1, 2)
 
 
@@ -197,17 +206,20 @@ def raster_scores(
     layout: PartLayout,
     cfg: RasterConfig,
     impl: str = "auto",
+    constrain=None,
 ) -> jax.Array:
     """Per-class Gaussian scores. verts2d [B,V,2] (pixels) -> [B, H*W, C].
 
     impl: 'separable' (default everywhere: MXU matmul formulation) | 'xla'
     (pairwise gather/segment-sum) | 'pallas' (culled VPU kernel) | 'auto'.
     All three compute the same sum-of-Gaussians up to f32 rounding.
+    `constrain` (separable only) is the sharding hook used by
+    parallel/render_sp.py for spatially-parallel rendering.
     """
     if impl == "auto":
         impl = "separable"
     if impl == "separable":
-        return _raster_scores_separable(verts2d, layout, cfg)
+        return _raster_scores_separable(verts2d, layout, cfg, constrain=constrain)
     if impl == "pallas":
         from indirect_learning_pose_shape_tpu.ops.kernels.raster_pallas import (
             raster_scores_pallas,
@@ -243,6 +255,7 @@ def soft_rasterize(
     layout: PartLayout,
     cfg: RasterConfig,
     impl: str = "auto",
+    constrain=None,
 ) -> dict[str, jax.Array]:
     """Full soft rasterization.
 
@@ -252,7 +265,7 @@ def soft_rasterize(
     """
     B = verts2d.shape[0]
     size, C = cfg.image_size, cfg.num_parts
-    score = raster_scores(verts2d, layout, cfg, impl=impl)  # [B, P, C]
+    score = raster_scores(verts2d, layout, cfg, impl=impl, constrain=constrain)
     s_total = jnp.sum(score, axis=-1, keepdims=True)
     denom = cfg.bg_gamma + s_total
     probs = jnp.concatenate(

@@ -6,7 +6,9 @@ TPU answer: a 1-D `Mesh(('data',))` over ICI, batch arrays sharded on the
 all-reduce inserted by XLA from the sharding annotations alone — no
 user-visible collectives, no NCCL-equivalent layer (that IS the design; see
 SURVEY.md §5 "Distributed comm backend"). TP/PP/EP are documented non-goals
-for a ~25M-param conv model (SURVEY.md §2).
+for a ~25M-param conv model (SURVEY.md §2). The one extra axis with real
+scale-out value — the rasterizer's image rows at high resolution — is
+covered by parallel/render_sp.py (2-D ('data','render') mesh).
 """
 
 from __future__ import annotations
