@@ -337,6 +337,11 @@ def fit_preprocessed(
             ckpt.save(int(ts.step), dataclasses.asdict(ts))
     jax.block_until_ready(ts.params)
     if ckpt:
+        # Final-state save: without it a run whose step budget is not a
+        # multiple of checkpoint_every ends with only the last periodic
+        # save on disk (e.g. 8000 steps at every=1700 -> step 6800).
+        if int(ts.step) % cfg.checkpoint_every and int(ts.step) > start:
+            ckpt.save(int(ts.step), dataclasses.asdict(ts))
         ckpt.close()
     writer.close()
     return ts, {k: float(v) for k, v in terms.items()}
@@ -389,6 +394,11 @@ def fit_dataset(
             ckpt.save(int(ts.step), dataclasses.asdict(ts))
     jax.block_until_ready(ts.params)
     if ckpt:
+        # Final-state save: without it a run whose step budget is not a
+        # multiple of checkpoint_every ends with only the last periodic
+        # save on disk (e.g. 8000 steps at every=1700 -> step 6800).
+        if int(ts.step) % cfg.checkpoint_every and int(ts.step) > start:
+            ckpt.save(int(ts.step), dataclasses.asdict(ts))
         ckpt.close()
     writer.close()
     return ts, {k: float(v) for k, v in terms.items()}
@@ -433,6 +443,11 @@ def fit(
             ckpt.save(int(ts.step), dataclasses.asdict(ts))
     jax.block_until_ready(ts.params)
     if ckpt:
+        # Final-state save: without it a run whose step budget is not a
+        # multiple of checkpoint_every ends with only the last periodic
+        # save on disk (e.g. 8000 steps at every=1700 -> step 6800).
+        if int(ts.step) % cfg.checkpoint_every and int(ts.step) > start:
+            ckpt.save(int(ts.step), dataclasses.asdict(ts))
         ckpt.close()
     writer.close()
     return ts, {k: float(v) for k, v in terms.items()}

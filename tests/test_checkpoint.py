@@ -34,6 +34,22 @@ def test_save_restore_roundtrip(tiny_asset, tmp_path):
 
 
 @pytest.mark.slow
+def test_final_state_checkpointed_on_uneven_budget(tiny_asset, tmp_path):
+    """A step budget that is not a multiple of checkpoint_every still leaves
+    the FINAL state on disk (a crash-resume run killed between periodic
+    saves otherwise silently serves a stale model to evaluate/predict)."""
+    cfg = dataclasses.replace(
+        tiny_train_cfg(),
+        checkpoint_every=2,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    train.fit(cfg, asset=tiny_asset, num_steps=5)
+    ckpt = Checkpointer(cfg.checkpoint_dir)
+    assert ckpt.latest_step() == 5
+    ckpt.close()
+
+
+@pytest.mark.slow
 def test_resume_continues_stream(tiny_asset, tmp_path):
     """Training 4 steps straight == training 2, checkpointing, resuming 2."""
     cfg = tiny_train_cfg()
