@@ -67,10 +67,15 @@ def main():
     try:
         cpu = jax.devices("cpu")[0]
         # Identical per-image workload (256², full model). Batch 1 with one
-        # warmup + two timed steps: on this 1-core host a single CPU step is
-        # a ~25 s average over billions of ops, so two steps give a stable
-        # (±5%) denominator at a runtime the bench budget can afford
-        # (batch 4 × 3 steps costs >10 min of CPU here).
+        # warmup + two timed ~25 s steps: the cheapest stable denominator
+        # the bench budget affords on this 1-core host (batch 4 × 3 steps
+        # costs >10 min; adding a second accelerator compile for a
+        # batch-matched numerator pushed the whole bench past its budget).
+        # Comparing per-image rates across batch sizes is fair HERE because
+        # CPU throughput is batch-invariant on one core — measured 25.0
+        # s/image at batch 1 vs 25.3 s/image at batch 4 (no parallel
+        # resources for batching to amortize), so the ratio is not inflated
+        # by the operating-point difference.
         cpu_imgs_per_sec = _throughput(
             cpu, batch_size=1, steps=2, warmup=1, force_xla=True
         )

@@ -110,7 +110,7 @@ def main():
     base = rows[0]["images_per_sec"]
     print(
         "\n| devices | global batch | step ms | images/sec "
-        "| throughput retention vs 1 dev |"
+        f"| throughput retention vs {rows[0]['devices']} dev |"
     )
     print("|---|---|---|---|---|")
     for r in rows:

@@ -63,9 +63,14 @@ def part_label_flip_perm(num_parts: int) -> np.ndarray:
 
 def kp_flip_perm(num_kp: int) -> np.ndarray:
     if num_kp != len(_KP_SWAP):
-        # Unknown keypoint set: mirror coordinates but keep identities
-        # (documented fallback — identity swap is only defined for cocoplus).
-        return np.arange(num_kp, dtype=np.int32)
+        # Mirroring without swapping identities would point every 'left'
+        # keypoint target at the person's right side — silently corrupted
+        # supervision. Refuse loudly instead of guessing.
+        raise ValueError(
+            f"mirror augmentation only knows the cocoplus-{len(_KP_SWAP)} "
+            f"left/right pairing; got {num_kp} keypoints. Extend _KP_SWAP "
+            "for this keypoint set or disable flips (flip_prob=0)."
+        )
     return np.asarray(_KP_SWAP, dtype=np.int32)
 
 
@@ -75,6 +80,8 @@ def mirror_raw_batch(raw: dict, key: jax.Array, cfg: AugmentConfig) -> dict:
     raw: images [B,H,W,3] (any numeric dtype), masks [B,H,W] int,
     kp2d [B,K,2] source pixels, kp_vis [B,K].
     """
+    if cfg.flip_prob == 0.0:  # flips disabled: no identity table needed
+        return raw
     B = raw["images"].shape[0]
     W = raw["images"].shape[2]
     flip = jax.random.bernoulli(key, cfg.flip_prob, (B,))

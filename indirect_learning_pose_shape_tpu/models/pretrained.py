@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
-_STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
+# Single source of truth for the architecture contract the import maps onto.
+from indirect_learning_pose_shape_tpu.models.encoder import _STAGE_BLOCKS
 
 
 def _conv_w(sd, key):

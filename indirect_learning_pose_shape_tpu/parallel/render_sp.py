@@ -27,7 +27,7 @@ surface, validated on the virtual CPU mesh like the rest of parallel/.
 
 from __future__ import annotations
 
-from typing import Optional
+import functools
 
 import jax
 import numpy as np
@@ -95,25 +95,22 @@ def rasterize_spatial(
     return fn(verts2d, layout)
 
 
-# jit cache keyed by (cfg, mesh); layout/verts are traced arguments, so
-# jax.jit's own cache handles shape changes within one entry.
-_CACHE: dict = {}
-
-
+# Bounded jit cache keyed by (cfg, mesh); layout/verts are traced arguments,
+# so jax.jit's own cache handles shape changes within one entry. The bound
+# keeps a long-lived process sweeping over RasterConfigs/meshes from pinning
+# every compiled executable forever.
+@functools.lru_cache(maxsize=16)
 def _compiled(cfg, mesh):
-    key = (cfg, mesh)
-    if key not in _CACHE:
-        constrain = _constrainer(mesh)
+    constrain = _constrainer(mesh)
 
-        @jax.jit
-        def run(verts2d, layout):
-            v = jax.lax.with_sharding_constraint(
-                verts2d, NamedSharding(mesh, P(DATA_AXIS))
-            )
-            return raster.soft_rasterize(v, layout, cfg, constrain=constrain)
+    @jax.jit
+    def run(verts2d, layout):
+        v = jax.lax.with_sharding_constraint(
+            verts2d, NamedSharding(mesh, P(DATA_AXIS))
+        )
+        return raster.soft_rasterize(v, layout, cfg, constrain=constrain)
 
-        _CACHE[key] = run
-    return _CACHE[key]
+    return run
 
 
 def spatial_render_loss_grad(

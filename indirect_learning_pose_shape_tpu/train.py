@@ -297,6 +297,19 @@ def _setup_checkpoint(cfg: configs.TrainConfig, ts: TrainState, num_steps: int):
     return ckpt, ts
 
 
+
+def _final_save(ckpt, ts: TrainState, start: int, cfg: configs.TrainConfig):
+    """Save the end-of-run state when the loop's last periodic save missed it.
+
+    Without this, a step budget that is not a multiple of checkpoint_every
+    (e.g. 8000 steps at every=1700) ends with only step 6800 on disk and
+    evaluate/predict silently serve a stale model. Shared by all fit_*
+    paths.
+    """
+    if int(ts.step) % cfg.checkpoint_every and int(ts.step) > start:
+        ckpt.save(int(ts.step), dataclasses.asdict(ts))
+
+
 def fit_preprocessed(
     cfg: configs.TrainConfig,
     dataset,
@@ -337,11 +350,7 @@ def fit_preprocessed(
             ckpt.save(int(ts.step), dataclasses.asdict(ts))
     jax.block_until_ready(ts.params)
     if ckpt:
-        # Final-state save: without it a run whose step budget is not a
-        # multiple of checkpoint_every ends with only the last periodic
-        # save on disk (e.g. 8000 steps at every=1700 -> step 6800).
-        if int(ts.step) % cfg.checkpoint_every and int(ts.step) > start:
-            ckpt.save(int(ts.step), dataclasses.asdict(ts))
+        _final_save(ckpt, ts, start, cfg)
         ckpt.close()
     writer.close()
     return ts, {k: float(v) for k, v in terms.items()}
@@ -394,11 +403,7 @@ def fit_dataset(
             ckpt.save(int(ts.step), dataclasses.asdict(ts))
     jax.block_until_ready(ts.params)
     if ckpt:
-        # Final-state save: without it a run whose step budget is not a
-        # multiple of checkpoint_every ends with only the last periodic
-        # save on disk (e.g. 8000 steps at every=1700 -> step 6800).
-        if int(ts.step) % cfg.checkpoint_every and int(ts.step) > start:
-            ckpt.save(int(ts.step), dataclasses.asdict(ts))
+        _final_save(ckpt, ts, start, cfg)
         ckpt.close()
     writer.close()
     return ts, {k: float(v) for k, v in terms.items()}
@@ -443,11 +448,7 @@ def fit(
             ckpt.save(int(ts.step), dataclasses.asdict(ts))
     jax.block_until_ready(ts.params)
     if ckpt:
-        # Final-state save: without it a run whose step budget is not a
-        # multiple of checkpoint_every ends with only the last periodic
-        # save on disk (e.g. 8000 steps at every=1700 -> step 6800).
-        if int(ts.step) % cfg.checkpoint_every and int(ts.step) > start:
-            ckpt.save(int(ts.step), dataclasses.asdict(ts))
+        _final_save(ckpt, ts, start, cfg)
         ckpt.close()
     writer.close()
     return ts, {k: float(v) for k, v in terms.items()}

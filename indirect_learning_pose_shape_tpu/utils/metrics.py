@@ -103,13 +103,19 @@ def _tfrecord(payload: bytes) -> bytes:
 class TensorBoardWriter:
     """Scalar event-file writer readable by TensorBoard / tbparse."""
 
+    _seq = 0  # uniquifier: same-second starts in one process stay distinct
+
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
+        TensorBoardWriter._seq += 1
+        # pid + per-process counter: two runs started within the same second
+        # (tests, sweep scripts) must not interleave into one event file.
         self.path = os.path.join(
             logdir,
-            f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}",
+            f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}"
+            f".{os.getpid()}.{TensorBoardWriter._seq}",
         )
-        self._file: IO = open(self.path, "ab")
+        self._file: IO = open(self.path, "wb")
         self._file.write(_tfrecord(_event(time.time(), file_version="brain.Event:2")))
 
     def write(self, step: int, scalars: dict) -> None:
