@@ -74,11 +74,17 @@ def forward(
     cfg: ModelConfig,
     train: bool = False,
 ) -> tuple[dict, dict]:
-    """Inference path. images [B, H, W, 3] -> outputs dict, new_state."""
-    feat, enc_state = enc.encoder_apply(
-        params["encoder"], state["encoder"], images, cfg.encoder, train
-    )
-    theta = ief_mod.ief_apply(params["ief"], feat, cfg.ief)
+    """Inference path. images [B, H, W, 3] -> outputs dict, new_state.
+
+    Stages run under jax.named_scope so profiler traces attribute device
+    time per component (tools/profile_step.py groups on these names).
+    """
+    with jax.named_scope("encoder"):
+        feat, enc_state = enc.encoder_apply(
+            params["encoder"], state["encoder"], images, cfg.encoder, train
+        )
+    with jax.named_scope("ief"):
+        theta = ief_mod.ief_apply(params["ief"], feat, cfg.ief)
     pose, betas, cam = ief_mod.split_theta(theta, cfg.ief)
     B = pose.shape[0]
     J = consts.smpl.num_joints
@@ -92,9 +98,10 @@ def forward(
     else:
         rotmats = smpl_mod.batch_rodrigues(pose.reshape(B, J, 3))
         pose_prior = pose[:, 3:]
-    smpl_out = smpl_mod.smpl_forward_rotmats(
-        consts.smpl, rotmats, betas, impl=cfg.smpl_impl
-    )
+    with jax.named_scope("smpl"):
+        smpl_out = smpl_mod.smpl_forward_rotmats(
+            consts.smpl, rotmats, betas, impl=cfg.smpl_impl
+        )
     kp2d = camera.project_pixel(smpl_out["kp3d"], cam, cfg.image_size)
     outputs = {
         "theta": theta,
@@ -126,9 +133,10 @@ def forward_train(
     """
     outputs, new_state = forward(params, state, consts, images, cfg, train=train)
     verts2d = camera.project_pixel(outputs["verts"], outputs["cam"], cfg.image_size)
-    rendered = raster.soft_rasterize(
-        verts2d, consts.part_layout, cfg.raster, impl=cfg.raster_impl
-    )
+    with jax.named_scope("raster"):
+        rendered = raster.soft_rasterize(
+            verts2d, consts.part_layout, cfg.raster, impl=cfg.raster_impl
+        )
     outputs["verts2d"] = verts2d
     outputs["silhouette"] = rendered["silhouette"]
     outputs["probs"] = rendered["probs"]

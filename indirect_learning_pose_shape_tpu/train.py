@@ -124,9 +124,10 @@ def loss_and_metrics(params, model_state, consts, batch, cfg: configs.TrainConfi
         "kp2d": batch["kp2d"],
         "kp_vis": batch["kp_vis"],
     }
-    total, terms = losses.total_loss(
-        outputs, targets, cfg.loss_weight_dict, cfg.model.image_size
-    )
+    with jax.named_scope("losses"):
+        total, terms = losses.total_loss(
+            outputs, targets, cfg.loss_weight_dict, cfg.model.image_size
+        )
     # Recovery diagnostics (synthetic data carries ground truth). Param-space
     # pose error only applies when the network predicts the same (axis-angle)
     # representation the generator sampled.
@@ -143,8 +144,11 @@ def train_step(ts: TrainState, batch, consts, cfg: configs.TrainConfig):
     (_, (terms, new_model_state)), grads = grad_fn(
         ts.params, ts.model_state, consts, batch, cfg
     )
-    updates, new_opt_state = make_optimizer(cfg).update(grads, ts.opt_state, ts.params)
-    new_params = optax.apply_updates(ts.params, updates)
+    with jax.named_scope("optimizer"):
+        updates, new_opt_state = make_optimizer(cfg).update(
+            grads, ts.opt_state, ts.params
+        )
+        new_params = optax.apply_updates(ts.params, updates)
     new_ts = TrainState(
         params=new_params,
         model_state=new_model_state,
@@ -158,7 +162,10 @@ def train_step(ts: TrainState, batch, consts, cfg: configs.TrainConfig):
 def make_batch(rng, step, batch_size, consts, cfg: configs.TrainConfig):
     """On-device batch for `step`: key is step-indexed (deterministic resume)."""
     key = jax.random.fold_in(rng, step)
-    return synthetic.generate_batch(key, batch_size, consts, cfg.model, cfg.synthetic)
+    with jax.named_scope("datagen"):
+        return synthetic.generate_batch(
+            key, batch_size, consts, cfg.model, cfg.synthetic
+        )
 
 
 def compile_train_fns(cfg: configs.TrainConfig, consts, mesh=None):

@@ -42,6 +42,21 @@ def capture(preset: str, out_dir: str, steps: int, batch_size: int) -> str:
     return traces[-1]
 
 
+# The model runs its stages under jax.named_scope (models/network.py,
+# train.py) and those names survive into each HLO op's `tf_op` metadata —
+# including backward ops, whose paths keep the primal scope inside
+# transpose(jvp(...)). Grouping on them attributes the one fused jit graph
+# per component.
+_SCOPES = ("datagen", "encoder", "ief", "smpl", "raster", "losses", "optimizer")
+
+
+def _component(tf_op: str) -> str:
+    for s in _SCOPES:
+        if s in tf_op:
+            return s
+    return "other"
+
+
 def report(trace_path: str, steps: int, top: int = 20) -> None:
     with gzip.open(trace_path) as f:
         data = json.load(f)
@@ -51,16 +66,32 @@ def report(trace_path: str, steps: int, top: int = 20) -> None:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pids[e["pid"]] = e["args"].get("name", "")
     agg = collections.Counter()
+    comp = collections.Counter()
+    comp_bwd = collections.Counter()
     for e in events:
         if e.get("ph") == "X" and "dur" in e:
             pname = pids.get(e.get("pid"), "")
             if "TPU" in pname or "GPU" in pname:
-                agg[e.get("name", "")[:70]] += e["dur"]
-    total = sum(agg.values())
-    print(f"\ndevice ops by time ({trace_path}):")
+                tf_op = str((e.get("args") or {}).get("tf_op") or "")
+                if tf_op:  # per-op rows (fusions carry their origin op path)
+                    agg[tf_op[:80]] += e["dur"]
+                    c = _component(tf_op)
+                    comp[c] += e["dur"]
+                    if "transpose(" in tf_op:
+                        comp_bwd[c] += e["dur"]
+    total = sum(comp.values())
+    if total:
+        print(f"\ndevice time by component ({trace_path}):")
+        print(f"{'ms/step':>9}  {'%':>5}  {'bwd ms':>7}  component")
+        for name, dur in comp.most_common():
+            print(
+                f"{dur / steps / 1000:9.2f}  {100 * dur / total:5.1f}"
+                f"  {comp_bwd[name] / steps / 1000:7.2f}  {name}"
+            )
+    print(f"\ndevice ops by time:")
     print(f"{'ms/step':>9}  {'%':>5}  op")
     for name, dur in agg.most_common(top):
-        print(f"{dur / steps / 1000:9.2f}  {100 * dur / total:5.1f}  {name}")
+        print(f"{dur / steps / 1000:9.2f}  {100 * dur / max(total, 1):5.1f}  {name}")
 
 
 def main():
