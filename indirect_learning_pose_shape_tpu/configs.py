@@ -63,7 +63,14 @@ def _model(image_size: int, depth: int = 18, num_parts: int = 24) -> ModelConfig
         image_size=image_size,
         encoder=EncoderConfig(depth=depth),
         ief=IEFConfig(),
-        raster=RasterConfig(image_size=image_size, num_parts=num_parts),
+        # Presets train with bf16 raster matmuls: a 1500-step A/B at 256²
+        # (docs/DESIGN.md) shows PVE/PA-MPJPE/IoU statistically identical to
+        # 3-pass f32 ('high', the library default kept for golden tests) at
+        # ~9% faster steps — the soft render's own σ=2 blur dwarfs the
+        # ~9e-3 score rounding.
+        raster=RasterConfig(
+            image_size=image_size, num_parts=num_parts, matmul_precision="default"
+        ),
     )
 
 
