@@ -29,13 +29,22 @@ def export_forward(
     batch: int,
     platforms=None,
 ) -> bytes:
-    """Serialize the inference forward with weights baked in. Returns bytes."""
+    """Serialize the inference forward with weights baked in. Returns bytes.
+
+    The artifact always uses the pure-XLA op implementations: Pallas
+    kernels are backend-time specializations that cannot lower into a
+    portable multi-platform StableHLO module (and the XLA SMPL path is
+    golden-equivalent — tests/test_kernels.py).
+    """
+    import dataclasses
+
     from jax import export as jax_export
 
     size = cfg.model.image_size
+    model_cfg = dataclasses.replace(cfg.model, smpl_impl="xla", raster_impl="xla")
 
     def forward(images):
-        outputs, _ = net.forward(params, state, consts, images, cfg.model, train=False)
+        outputs, _ = net.forward(params, state, consts, images, model_cfg, train=False)
         return outputs["theta"], outputs["verts"], outputs["kp2d"]
 
     spec = jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32)
