@@ -107,11 +107,19 @@ CONFIG4_LARGE = TrainConfig(
     batch_size=32,
 )
 
+# UP-S31-style 31-part body segmentation (the reference genre's finer label
+# space, SURVEY.md §2.3/§0.1 item 3): 31 foreground classes + background.
+# Vertex part ids beyond the SMPL-24 set come from the dataset's mask
+# convention; with the synthetic asset the 24 SMPL parts simply occupy the
+# first 24 of 31 channels.
+CONFIG4_PARTS31 = TrainConfig(model=_model(256, num_parts=31), batch_size=32)
+
 PRESETS = {
     "config1_single": CONFIG1_SINGLE,
     "config2_smpl_batch": CONFIG2_SMPL_BATCH,
     "config3_render": CONFIG3_RENDER,
     "config4_full": CONFIG4_FULL,
     "config4_large": CONFIG4_LARGE,
+    "config4_parts31": CONFIG4_PARTS31,
     "config5_data_parallel": CONFIG5_DATA_PARALLEL,
 }

@@ -42,6 +42,22 @@ def test_synthetic_batch_targets_consistent(tiny_asset):
     assert sil.mean() > 0.01
 
 
+def test_parts31_preset_trains(tiny_asset):
+    """The UP-S31-style 31-part label space (config4_parts31 preset): one
+    fused step runs with 31 foreground classes end to end."""
+    cfg = dataclasses.replace(
+        tiny_train_cfg(),
+        model=small_model_cfg(image_size=32, num_parts=31),
+    )
+    assert "config4_parts31" in configs.PRESETS
+    assert configs.PRESETS["config4_parts31"].model.raster.num_parts == 31
+    ts, consts = train.init_state(cfg, tiny_asset)
+    fused = train.compile_fused_step(cfg, consts)
+    ts, terms = fused(ts)
+    assert np.isfinite(float(terms["total"]))
+    assert consts.part_layout.num_parts == 31
+
+
 @pytest.mark.slow
 def test_offcrop_keypoints_invisible_and_lossless(tiny_asset):
     """Geometric visibility: keypoints projected outside the crop get vis=0,
