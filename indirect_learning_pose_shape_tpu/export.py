@@ -31,17 +31,18 @@ def export_forward(
 ) -> bytes:
     """Serialize the inference forward with weights baked in. Returns bytes.
 
-    The artifact always uses the pure-XLA op implementations: Pallas
-    kernels are backend-time specializations that cannot lower into a
-    portable multi-platform StableHLO module (and the XLA SMPL path is
-    golden-equivalent — tests/test_kernels.py).
+    The artifact uses the pure-XLA SMPL implementation: Pallas kernels are
+    backend-time specializations that cannot lower into a portable
+    multi-platform StableHLO module, and the XLA path is golden-equivalent
+    (tests/test_kernels.py). The rasterizer needs no pin — the inference
+    forward never rasterizes (training-only supervision machinery).
     """
     import dataclasses
 
     from jax import export as jax_export
 
     size = cfg.model.image_size
-    model_cfg = dataclasses.replace(cfg.model, smpl_impl="xla", raster_impl="xla")
+    model_cfg = dataclasses.replace(cfg.model, smpl_impl="xla")
 
     def forward(images):
         outputs, _ = net.forward(params, state, consts, images, model_cfg, train=False)

@@ -46,11 +46,20 @@ def capture(preset: str, out_dir: str, steps: int, batch_size: int) -> str:
 # train.py) and those names survive into each HLO op's `tf_op` metadata —
 # including backward ops, whose paths keep the primal scope inside
 # transpose(jvp(...)). Grouping on them attributes the one fused jit graph
-# per component.
+# per component. Events with no tf_op metadata (copies, infeed, host ops,
+# or older XProf versions) land in an explicit 'unattributed' bucket so
+# the table's total always matches the device total.
 _SCOPES = ("datagen", "encoder", "ief", "smpl", "raster", "losses", "optimizer")
+
+# Backward-time markers: 'transpose(' covers VJP-transposed ops; 'rematted'
+# and 'checkpoint' cover forward ops re-executed inside the backward under
+# jax.checkpoint. Heuristic — fwd/bwd split is approximate for fused ops.
+_BWD_MARKS = ("transpose(", "rematted", "checkpoint")
 
 
 def _component(tf_op: str) -> str:
+    if not tf_op:
+        return "unattributed"
     for s in _SCOPES:
         if s in tf_op:
             return s
@@ -62,9 +71,12 @@ def report(trace_path: str, steps: int, top: int = 20) -> None:
         data = json.load(f)
     events = data.get("traceEvents", [])
     pids = {}
+    tids = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pids[e["pid"]] = e["args"].get("name", "")
+        elif e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     agg = collections.Counter()
     comp = collections.Counter()
     comp_bwd = collections.Counter()
@@ -72,13 +84,19 @@ def report(trace_path: str, steps: int, top: int = 20) -> None:
         if e.get("ph") == "X" and "dur" in e:
             pname = pids.get(e.get("pid"), "")
             if "TPU" in pname or "GPU" in pname:
+                # Only the per-op track: the 'Steps' / 'XLA Modules' tracks
+                # carry whole-graph aggregate spans that would double-count.
+                tname = tids.get((e.get("pid"), e.get("tid")), "")
+                if tname and "Ops" not in tname:
+                    continue
                 tf_op = str((e.get("args") or {}).get("tf_op") or "")
-                if tf_op:  # per-op rows (fusions carry their origin op path)
-                    agg[tf_op[:80]] += e["dur"]
-                    c = _component(tf_op)
-                    comp[c] += e["dur"]
-                    if "transpose(" in tf_op:
-                        comp_bwd[c] += e["dur"]
+                # Per-op rows: fusions carry their origin op path; fall back
+                # to the raw event name when metadata is missing.
+                agg[(tf_op or e.get("name", ""))[:80]] += e["dur"]
+                c = _component(tf_op)
+                comp[c] += e["dur"]
+                if any(m in tf_op for m in _BWD_MARKS):
+                    comp_bwd[c] += e["dur"]
     total = sum(comp.values())
     if total:
         print(f"\ndevice time by component ({trace_path}):")
