@@ -31,6 +31,21 @@ import numpy as np
 # 12 neck, 13 head top, 14 nose, 15 L eye, 16 R eye, 17 L ear, 18 R ear.
 _KP_SWAP = (5, 4, 3, 2, 1, 0, 11, 10, 9, 8, 7, 6, 12, 13, 14, 16, 15, 18, 17)
 
+# COCO-17 order: 0 nose, 1 L eye, 2 R eye, 3 L ear, 4 R ear, 5 L shoulder,
+# 6 R shoulder, 7 L elbow, 8 R elbow, 9 L wrist, 10 R wrist, 11 L hip,
+# 12 R hip, 13 L knee, 14 R knee, 15 L ankle, 16 R ankle.
+_KP_SWAP_COCO17 = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15)
+
+# Known keypoint conventions by count. LSP-14 is exactly the first 14
+# cocoplus entries (same body-joint order, no face points), so its swap
+# table is the cocoplus prefix — which is closed under the prefix (all
+# swapped indices stay < 14).
+_KP_SWAPS = {
+    19: _KP_SWAP,
+    17: _KP_SWAP_COCO17,
+    14: _KP_SWAP[:14],
+}
+
 # SMPL 24-joint part labels in the rendered/part-mask space: mask value
 # k+1 = SMPL joint k (0 is background). Left/right joint pairs of the SMPL
 # kinematic tree: (1,2) hips, (4,5) knees, (7,8) ankles, (10,11) feet,
@@ -62,16 +77,20 @@ def part_label_flip_perm(num_parts: int) -> np.ndarray:
 
 
 def kp_flip_perm(num_kp: int) -> np.ndarray:
-    if num_kp != len(_KP_SWAP):
-        # Mirroring without swapping identities would point every 'left'
-        # keypoint target at the person's right side — silently corrupted
-        # supervision. Refuse loudly instead of guessing.
+    """Left/right identity permutation for cocoplus-19, COCO-17, or LSP-14.
+
+    Mirroring without swapping identities would point every 'left' keypoint
+    target at the person's right side — silently corrupted supervision —
+    so an unknown keypoint count is refused loudly instead of guessed.
+    """
+    if num_kp not in _KP_SWAPS:
         raise ValueError(
-            f"mirror augmentation only knows the cocoplus-{len(_KP_SWAP)} "
-            f"left/right pairing; got {num_kp} keypoints. Extend _KP_SWAP "
-            "for this keypoint set or disable flips (flip_prob=0)."
+            f"mirror augmentation knows the left/right pairings for "
+            f"{sorted(_KP_SWAPS)} keypoints (cocoplus-19 / COCO-17 / "
+            f"LSP-14); got {num_kp}. Extend _KP_SWAPS for this keypoint "
+            "set or disable flips (flip_prob=0)."
         )
-    return np.asarray(_KP_SWAP, dtype=np.int32)
+    return np.asarray(_KP_SWAPS[num_kp], dtype=np.int32)
 
 
 def mirror_raw_batch(raw: dict, key: jax.Array, cfg: AugmentConfig) -> dict:

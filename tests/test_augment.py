@@ -59,6 +59,24 @@ def test_mirror_flips_all_label_spaces(rng):
         )
 
 
+def test_kp_flip_perm_conventions():
+    """Swap tables are involutions that pair left/right across all three
+    known conventions; unknown counts are refused."""
+    for k in (19, 17, 14):
+        perm = aug.kp_flip_perm(k)
+        assert perm.shape == (k,)
+        np.testing.assert_array_equal(perm[perm], np.arange(k))  # involution
+        assert sorted(perm) == list(range(k))  # a true permutation
+    # COCO-17: L shoulder (5) <-> R shoulder (6); nose (0) fixed.
+    p17 = aug.kp_flip_perm(17)
+    assert p17[5] == 6 and p17[6] == 5 and p17[0] == 0
+    # LSP-14: R ankle (0) <-> L ankle (5); head top (13) fixed.
+    p14 = aug.kp_flip_perm(14)
+    assert p14[0] == 5 and p14[5] == 0 and p14[13] == 13
+    with pytest.raises(ValueError, match="flip_prob=0"):
+        aug.kp_flip_perm(21)
+
+
 def test_mirror_prob_zero_is_identity(rng):
     raw = {k: jnp.asarray(v) for k, v in _raw(rng).items()}
     cfg = aug.AugmentConfig(enabled=True, flip_prob=0.0)
