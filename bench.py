@@ -59,25 +59,31 @@ def _throughput(
 
 
 def main():
+    import os
+
     accel = jax.devices()[0]
     batch = 32
     accel_imgs_per_sec = _throughput(accel, batch_size=batch, steps=30, warmup=5)
+    # Best-batch operating point (BASELINE.md batch-scaling table): larger
+    # batches amortize launch/HBM overheads; report it alongside the
+    # config-4 b32 headline so the peak-throughput preset is measured too.
+    best_batch = 128
+    best_imgs_per_sec = _throughput(accel, batch_size=best_batch, steps=12, warmup=3)
 
     vs_baseline = float("nan")
+    cpu_cores = os.cpu_count() or 1
+    # Denominator policy (ADVICE r2): the batch-1 CPU measurement is only a
+    # fair per-image rate when the host cannot amortize batching — measured
+    # batch-invariant on a 1-core host (25.0 s/img at b1 vs 25.3 at b4). On
+    # a multi-core host batch 1 would UNDERSTATE CPU throughput and inflate
+    # the ratio, so there the denominator is batch-matched-per-core instead
+    # (batch = min(cores, 4), still bounded by the bench budget), and the
+    # JSON records which was used.
+    cpu_batch = 1 if cpu_cores == 1 else min(cpu_cores, 4)
     try:
         cpu = jax.devices("cpu")[0]
-        # Identical per-image workload (256², full model). Batch 1 with one
-        # warmup + two timed ~25 s steps: the cheapest stable denominator
-        # the bench budget affords on this 1-core host (batch 4 × 3 steps
-        # costs >10 min; adding a second accelerator compile for a
-        # batch-matched numerator pushed the whole bench past its budget).
-        # Comparing per-image rates across batch sizes is fair HERE because
-        # CPU throughput is batch-invariant on one core — measured 25.0
-        # s/image at batch 1 vs 25.3 s/image at batch 4 (no parallel
-        # resources for batching to amortize), so the ratio is not inflated
-        # by the operating-point difference.
         cpu_imgs_per_sec = _throughput(
-            cpu, batch_size=1, steps=2, warmup=1, force_xla=True
+            cpu, batch_size=cpu_batch, steps=2, warmup=1, force_xla=True
         )
         vs_baseline = accel_imgs_per_sec / cpu_imgs_per_sec
     except Exception as e:  # CPU backend unavailable: report accel number only
@@ -91,6 +97,10 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs_baseline, 2),
                 "steps_per_sec": round(accel_imgs_per_sec / batch, 2),
+                "value_best_batch": round(best_imgs_per_sec, 2),
+                "best_batch": best_batch,
+                "cpu_batch_size": cpu_batch,
+                "cpu_cores": cpu_cores,
             }
         )
     )

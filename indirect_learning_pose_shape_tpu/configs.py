@@ -44,6 +44,13 @@ class TrainConfig:
     )
     # Data parallelism (BASELINE.json:11): number of mesh devices; None = all.
     num_devices: int | None = None
+    # Spatially-parallel rendering (parallel/render_sp.py): shard the
+    # raster's image rows over this many devices IN ADDITION to data
+    # parallelism — the run mesh becomes 2-D (data, render) with
+    # total devices = (num_devices or all) and data axis = total / render.
+    # Zero forward communication (separable formulation); worthwhile at
+    # ≥512² render sizes. 1 = off (plain 1-D data mesh).
+    render_devices: int = 1
     # Checkpointing (SURVEY.md §5): every N steps; 0 disables.
     checkpoint_every: int = 0
     checkpoint_dir: str = "/tmp/ilps_ckpt"
@@ -52,6 +59,10 @@ class TrainConfig:
     # ImageNet-pretrained backbone npz (tools/import_resnet_weights.py);
     # None trains the encoder from scratch (SURVEY.md §2.4).
     pretrained: str | None = None
+    # Mean-parameter file for IEF's Θ₀ (SURVEY.md §2.5: the reference loads
+    # a mean-params file; npz with 'mean_theta' or bare .npy, shape-checked
+    # in models/ief.load_mean_theta). None = the neutral stand-in.
+    mean_params: str | None = None
 
     @property
     def loss_weight_dict(self) -> dict[str, float]:
@@ -61,7 +72,9 @@ class TrainConfig:
 def _model(image_size: int, depth: int = 18, num_parts: int = 24) -> ModelConfig:
     return ModelConfig(
         image_size=image_size,
-        encoder=EncoderConfig(depth=depth),
+        # fold_bn_eval: deploy-time conv+BN fusion on the inference path
+        # (models/encoder.py _conv_bn) — bf16-rounding-identical, tested.
+        encoder=EncoderConfig(depth=depth, fold_bn_eval=True),
         ief=IEFConfig(),
         # Presets train with bf16 raster matmuls: a 1500-step A/B at 256²
         # (docs/DESIGN.md) shows PVE/PA-MPJPE/IoU statistically identical to
@@ -112,13 +125,26 @@ CONFIG4_LARGE = TrainConfig(
 # Vertex part ids beyond the SMPL-24 set come from the dataset's mask
 # convention; with the synthetic asset the 24 SMPL parts simply occupy the
 # first 24 of 31 channels.
-CONFIG4_PARTS31 = TrainConfig(model=_model(256, num_parts=31), batch_size=32)
+# Peak-throughput operating point measured in BASELINE.md's batch-scaling
+# table (b32 → b128 buys ~25% more images/sec/chip on the v5e): the same
+# full config-4 step at the best batch. LR scaled with batch (linear rule).
+CONFIG4_B128 = TrainConfig(model=_model(256), batch_size=128, learning_rate=4e-4)
+
+# Mirror augmentation must know this label space: ids 1-24 follow SMPL,
+# 25-31 are the synthetic stand-in's reserved midline ids (data/augment.py
+# _PART_CONVENTIONS; a real UP-S31 palette needs 'custom' + part_lr_pairs).
+CONFIG4_PARTS31 = TrainConfig(
+    model=_model(256, num_parts=31),
+    batch_size=32,
+    augment=AugmentConfig(part_convention="s31-smpl-prefix"),
+)
 
 PRESETS = {
     "config1_single": CONFIG1_SINGLE,
     "config2_smpl_batch": CONFIG2_SMPL_BATCH,
     "config3_render": CONFIG3_RENDER,
     "config4_full": CONFIG4_FULL,
+    "config4_b128": CONFIG4_B128,
     "config4_large": CONFIG4_LARGE,
     "config4_parts31": CONFIG4_PARTS31,
     "config5_data_parallel": CONFIG5_DATA_PARALLEL,

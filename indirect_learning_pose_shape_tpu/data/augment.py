@@ -53,6 +53,30 @@ _KP_SWAPS = {
 # (22,23) hands; 0,3,6,9,12,15 are midline.
 _SMPL_LR = ((1, 2), (4, 5), (7, 8), (10, 11), (13, 14), (16, 17), (18, 19), (20, 21), (22, 23))
 
+# Part-mask conventions the mirror augmentation knows how to flip.
+# Each entry: (required num_parts predicate, L/R pairs IN MASK-ID SPACE).
+#
+# - 'smpl24': the repo's native rendered label space — mask id k+1 = SMPL
+#   joint k (see _SMPL_LR above; pairs shifted +1 here). Valid for any
+#   num_parts <= 24; pairs with either side out of range are dropped whole.
+# - 's31-smpl-prefix': the repo's 31-part synthetic stand-in layout
+#   (configs.py CONFIG4_PARTS31): ids 1-24 are the SMPL parts, ids 25-31 are
+#   reserved/unoccupied by the synthetic asset and treated as midline. NOTE:
+#   this is NOT a verified Unite-the-People UP-S31 palette — the reference
+#   snapshot is unavailable (SURVEY.md §0) so the real dataset's id ordering
+#   cannot be confirmed; a real UP-S31 dataset must declare its pairing
+#   explicitly via AugmentConfig.part_lr_pairs ('custom').
+# - 'custom': pairs supplied by AugmentConfig.part_lr_pairs (mask-id space).
+# - 'none': labels have no left/right structure; masks flip spatially with
+#   ids unchanged (explicit opt-out, not a silent default).
+_SMPL24_MASK_PAIRS = tuple((l + 1, r + 1) for l, r in _SMPL_LR)
+_PART_CONVENTIONS = {
+    "smpl24": _SMPL24_MASK_PAIRS,
+    "s31-smpl-prefix": _SMPL24_MASK_PAIRS,  # ids 25-31 midline by definition
+    "custom": None,  # resolved from AugmentConfig.part_lr_pairs
+    "none": (),
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class AugmentConfig:
@@ -61,18 +85,59 @@ class AugmentConfig:
     # Crop-box jitter: size *= U(1-s, 1+s), centre += U(-t, t) * size.
     scale_jitter: float = 0.1
     trans_jitter: float = 0.05
+    # Part-mask left/right convention for the mirror flip (keys of
+    # _PART_CONVENTIONS). Unknown conventions and convention/num_parts
+    # mismatches are refused loudly — the label analogue of kp_flip_perm's
+    # contract, so mirrored supervision is never silently corrupted.
+    part_convention: str = "smpl24"
+    # Explicit L/R mask-id pairs for part_convention='custom' (real datasets
+    # whose palette none of the named conventions describes).
+    part_lr_pairs: tuple = ()
 
 
-def part_label_flip_perm(num_parts: int) -> np.ndarray:
+def part_label_flip_perm(
+    num_parts: int, convention: str = "smpl24", custom_pairs: tuple = ()
+) -> np.ndarray:
     """Label-space permutation swapping left/right part ids (0 = bg fixed).
 
-    Mask values are 1 + SMPL joint id; ids >= num_parts (when a dataset
-    carries more granular labels than configured) map through unchanged.
+    Refuses unknown conventions and convention/num_parts mismatches instead
+    of guessing — mirroring a mask without the correct identity swap points
+    every 'left' part label at the person's right side, which corrupts the
+    part-CE loss silently (the exact failure kp_flip_perm guards against for
+    keypoints).
     """
+    if convention not in _PART_CONVENTIONS:
+        raise ValueError(
+            f"unknown part-mask convention {convention!r}; known: "
+            f"{sorted(_PART_CONVENTIONS)}. Declare the dataset's left/right "
+            "id pairing (part_convention='custom' + part_lr_pairs) or "
+            "disable flips (flip_prob=0)."
+        )
+    if convention == "smpl24" and num_parts > 24:
+        raise ValueError(
+            f"part_convention='smpl24' covers mask ids 1-24 but the run is "
+            f"configured for {num_parts} parts: ids 25-{num_parts} have no "
+            "declared left/right pairing and would flip sides with their "
+            "labels unswapped. Use 's31-smpl-prefix' for the repo's 31-part "
+            "synthetic layout, or 'custom' with explicit part_lr_pairs."
+        )
+    if convention == "s31-smpl-prefix" and num_parts != 31:
+        raise ValueError(
+            f"part_convention='s31-smpl-prefix' describes a 31-part label "
+            f"space; the run is configured for {num_parts} parts."
+        )
+    pairs = custom_pairs if convention == "custom" else _PART_CONVENTIONS[convention]
     perm = np.arange(256, dtype=np.int32)
-    for l, r in _SMPL_LR:
-        if l + 1 < min(num_parts + 1, 256) and r + 1 < min(num_parts + 1, 256):
-            perm[l + 1], perm[r + 1] = r + 1, l + 1
+    for l, r in pairs:
+        if convention == "custom" and not (
+            0 < l <= num_parts and 0 < r <= num_parts
+        ):
+            raise ValueError(
+                f"part_lr_pairs entry ({l}, {r}) outside mask-id range "
+                f"1..{num_parts} (0 is background and cannot be paired)"
+            )
+        if l <= num_parts and r <= num_parts:
+            perm[l], perm[r] = r, l
     return perm
 
 
@@ -93,11 +158,15 @@ def kp_flip_perm(num_kp: int) -> np.ndarray:
     return np.asarray(_KP_SWAPS[num_kp], dtype=np.int32)
 
 
-def mirror_raw_batch(raw: dict, key: jax.Array, cfg: AugmentConfig) -> dict:
+def mirror_raw_batch(
+    raw: dict, key: jax.Array, cfg: AugmentConfig, num_parts: int = 24
+) -> dict:
     """Per-sample random horizontal mirror of a raw disk batch.
 
     raw: images [B,H,W,3] (any numeric dtype), masks [B,H,W] int,
-    kp2d [B,K,2] source pixels, kp_vis [B,K].
+    kp2d [B,K,2] source pixels, kp_vis [B,K]. `num_parts` is the run's
+    part-label space (cfg.part_convention must describe it — validated
+    loudly in part_label_flip_perm at trace time).
     """
     if cfg.flip_prob == 0.0:  # flips disabled: no identity table needed
         return raw
@@ -111,7 +180,9 @@ def mirror_raw_batch(raw: dict, key: jax.Array, cfg: AugmentConfig) -> dict:
 
     images = jnp.where(f4, raw["images"][:, :, ::-1], raw["images"])
 
-    label_perm = jnp.asarray(part_label_flip_perm(256))
+    label_perm = jnp.asarray(
+        part_label_flip_perm(num_parts, cfg.part_convention, cfg.part_lr_pairs)
+    )
     masks_m = label_perm[raw["masks"].astype(jnp.int32)[:, :, ::-1]]
     masks = jnp.where(f3, masks_m, raw["masks"].astype(jnp.int32))
 

@@ -41,6 +41,17 @@ class NpzDataset:
         self.num_examples = len(self.arrays["images"])
         if self.num_examples < batch_size:
             raise ValueError("dataset smaller than one batch")
+        # Part-label ids must fit the 256-entry flip/clip tables downstream
+        # (data/augment.py): a wider id would be clamped by JAX's gather
+        # semantics on device — wrong labels with no signal — so refuse on
+        # the host, once, where it is loud.
+        if "masks" in self.arrays:
+            max_label = int(self.arrays["masks"].max()) if self.num_examples else 0
+            if max_label >= 256:
+                raise ValueError(
+                    f"mask labels reach {max_label}; part-label ids must be "
+                    "< 256 (uint8 label space). Remap the dataset's masks."
+                )
 
     def _epoch_order(self, epoch_idx: int) -> np.ndarray:
         rng = np.random.RandomState((self.seed * 100003 + epoch_idx) % (2**31))

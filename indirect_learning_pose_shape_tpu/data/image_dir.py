@@ -58,7 +58,17 @@ def _transform_kp(kp2d: np.ndarray, bbox: np.ndarray, out_size: int) -> np.ndarr
 
 
 class ImageDirDataset:
-    """File-per-sample dataset with host-side (native) preprocessing."""
+    """File-per-sample dataset with host-side (native) preprocessing.
+
+    `augment` (an AugmentConfig with enabled=True) turns on host-side
+    mirror + crop-jitter augmentation — the disk-path counterpart of the
+    on-device data/augment.py used by the npz path. Host-side because the
+    ragged→fixed native preprocess happens here: the mirror must act on the
+    source-resolution image/mask/keypoints BEFORE the crop is derived, and
+    the jitter perturbs that crop box. Deterministic per global step
+    (resume replays the same flips/jitters) and convention-checked the same
+    way: part_label_flip_perm / kp_flip_perm refuse unknown label spaces.
+    """
 
     def __init__(
         self,
@@ -67,12 +77,14 @@ class ImageDirDataset:
         image_size: int,
         num_parts: int = 24,
         seed: int = 0,
+        augment=None,
     ):
         self.root = root
         self.batch_size = batch_size
         self.image_size = image_size
         self.num_parts = num_parts
         self.seed = seed
+        self.augment = augment if (augment is not None and augment.enabled) else None
 
         img_dir = os.path.join(root, "images")
         self.names = sorted(
@@ -100,17 +112,45 @@ class ImageDirDataset:
         mask = _imread_mask(os.path.join(self.root, "masks", name + ".png"))
         return image, mask
 
-    def _make_batch(self, names: list) -> dict:
+    def _make_batch(self, names: list, rng=None) -> dict:
         from indirect_learning_pose_shape_tpu.data import native_preprocess as npp
+
+        aug = self.augment if rng is not None else None
+        if aug is not None:
+            from indirect_learning_pose_shape_tpu.data import augment as aug_mod
+
+            label_perm = aug_mod.part_label_flip_perm(
+                self.num_parts, aug.part_convention, aug.part_lr_pairs
+            )
 
         images, masks, kps, viss = [], [], [], []
         for n in names:
             im, mk = self._load_sample(n)
+            kp, vis = self.kp2d[n], self.kp_vis[n]
+            if aug is not None and rng.rand() < aug.flip_prob:
+                W = im.shape[1]
+                kperm = aug_mod.kp_flip_perm(kp.shape[0])
+                im = im[:, ::-1]
+                mk = label_perm[mk[:, ::-1].astype(np.int32)].astype(mk.dtype)
+                kp = kp[kperm].copy()
+                kp[..., 0] = W - 1.0 - kp[..., 0]
+                vis = vis[kperm]
             images.append(im)
             masks.append(mk)
-            kps.append(self.kp2d[n])
-            viss.append(self.kp_vis[n])
+            kps.append(kp)
+            viss.append(vis)
         bboxes = np.stack([npp.bbox_from_mask(m) for m in masks])
+        if aug is not None:
+            # Same jitter law as data/augment.jitter_bboxes, on the host.
+            scale = rng.uniform(
+                1.0 - aug.scale_jitter, 1.0 + aug.scale_jitter, (len(names), 1)
+            )
+            shift = rng.uniform(
+                -aug.trans_jitter, aug.trans_jitter, (len(names), 2)
+            )
+            size = bboxes[:, 2:3] * scale
+            centre = bboxes[:, :2] + shift * bboxes[:, 2:3]
+            bboxes = np.concatenate([centre, size], axis=1).astype(bboxes.dtype)
         out_imgs = npp.crop_resize_normalize(images, bboxes, self.image_size)
         out_masks = npp.crop_resize_mask(masks, bboxes, self.image_size)
         labels = np.minimum(out_masks.astype(np.int32), self.num_parts)
@@ -135,7 +175,14 @@ class ImageDirDataset:
             order = rng.permutation(self.num_examples)
             for i in range(offset, spe):
                 idx = order[i * self.batch_size : (i + 1) * self.batch_size]
-                yield self._make_batch([self.names[j] for j in idx])
+                # Step-keyed RNG (not the epoch stream): a resumed run replays
+                # the exact flips/jitters the crashed run would have drawn.
+                aug_rng = (
+                    np.random.RandomState((self.seed * 7919 + step * 31 + 7) % (2**31))
+                    if self.augment is not None
+                    else None
+                )
+                yield self._make_batch([self.names[j] for j in idx], rng=aug_rng)
                 step += 1
 
 

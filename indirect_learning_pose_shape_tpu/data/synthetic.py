@@ -61,8 +61,13 @@ def generate_batch(
     consts: net.ModelConsts,
     model_cfg: net.ModelConfig,
     cfg: SyntheticConfig = SyntheticConfig(),
+    constrain=None,
 ) -> dict[str, jax.Array]:
     """One fully on-device batch: images + render/keypoint targets + gt Θ.
+
+    `constrain` (parallel/render_sp.constrainer) row-shards the TARGET
+    render over a ('data','render') mesh, so target generation scales with
+    the prediction render instead of being computed replicated.
 
     Returns dict:
       image       [B, S, S, 3] float32 in [-1, 1]
@@ -86,7 +91,11 @@ def generate_batch(
         model_cfg.raster, matmul_precision="default"
     )
     rendered = raster.soft_rasterize(
-        verts2d, consts.part_layout, target_raster_cfg, impl=model_cfg.raster_impl
+        verts2d,
+        consts.part_layout,
+        target_raster_cfg,
+        impl=model_cfg.raster_impl,
+        constrain=constrain,
     )
     kp2d = camera.project_pixel(smpl_out["kp3d"], cam, size)
 

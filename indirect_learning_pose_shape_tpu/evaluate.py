@@ -9,6 +9,9 @@ against ground truth (available exactly on the synthetic stream):
 - PA-MPJPE: MPJPE after Procrustes alignment (rotation/translation/scale
   removed — isolates articulated-pose error from camera error).
 - Silhouette IoU between the rendered prediction and the target mask.
+- Part accuracy + mean per-class IoU (part_metrics) on the rendered
+  part-segmentation map wherever part labels exist — synthetic stream, npz
+  datasets, and image directories alike (the part-CE loss's quality metric).
 
 All pure jittable functions; `evaluate()` runs them over a synthetic
 validation stream with a fixed key, so eval is deterministic;
@@ -77,6 +80,33 @@ def silhouette_iou_metric(pred_sil: jax.Array, target_sil: jax.Array) -> jax.Arr
     return jnp.mean(inter / jnp.maximum(union, 1))
 
 
+def part_metrics(pred_probs: jax.Array, target_labels: jax.Array):
+    """Per-pixel part accuracy + mean per-class IoU (the part-segmentation
+    genre's quality metrics — the part-CE loss's measurable counterpart).
+
+    pred_probs [B, H, W, C+1] normalized class scores, target_labels
+    [B, H, W] int. Returns (part_acc, miou):
+    - part_acc: argmax accuracy over every pixel (background included — the
+      convention for full-frame segmentation accuracy).
+    - miou: IoU per class, averaged over classes PRESENT in target or
+      prediction (absent classes would contribute 0/0; excluding them keeps
+      the metric comparable across batches with different part visibility).
+    """
+    pred = jnp.argmax(pred_probs, axis=-1)
+    tgt = target_labels.astype(pred.dtype)
+    acc = jnp.mean((pred == tgt).astype(jnp.float32))
+    C = pred_probs.shape[-1]
+    classes = jnp.arange(C, dtype=pred.dtype)
+    p1 = pred[..., None] == classes  # [B,H,W,C]
+    t1 = tgt[..., None] == classes
+    inter = jnp.sum(p1 & t1, axis=(0, 1, 2)).astype(jnp.float32)
+    union = jnp.sum(p1 | t1, axis=(0, 1, 2)).astype(jnp.float32)
+    present = union > 0
+    iou = jnp.where(present, inter / jnp.maximum(union, 1.0), 0.0)
+    miou = jnp.sum(iou) / jnp.maximum(jnp.sum(present), 1)
+    return acc, miou
+
+
 def _batch_metrics(params, model_state, consts, batch, cfg: configs.TrainConfig):
     """Shared per-batch metric computation (jit-traced).
 
@@ -89,6 +119,10 @@ def _batch_metrics(params, model_state, consts, batch, cfg: configs.TrainConfig)
     metrics = {
         "sil_iou": silhouette_iou_metric(outputs["silhouette"], batch["silhouette"])
     }
+    if "part_labels" in batch:
+        metrics["part_acc"], metrics["miou"] = part_metrics(
+            outputs["probs"], batch["part_labels"]
+        )
     if "kp2d" in batch:
         vis = batch.get("kp_vis", jnp.ones(batch["kp2d"].shape[:-1]))
         err = jnp.linalg.norm(outputs["kp2d"] - batch["kp2d"], axis=-1)
@@ -188,6 +222,47 @@ def evaluate_dataset(
     return {k: v / n for k, v in acc.items()}
 
 
+@functools.lru_cache(maxsize=8)
+def _preprocessed_eval_fn(cfg: configs.TrainConfig):
+    @jax.jit
+    def run(params, model_state, consts, batch):
+        return _batch_metrics(params, model_state, consts, batch, cfg)
+
+    return run
+
+
+def evaluate_preprocessed(
+    params,
+    model_state,
+    consts: net.ModelConsts,
+    cfg: configs.TrainConfig,
+    dataset,
+    max_batches: int | None = None,
+) -> dict[str, float]:
+    """Eval over a host-preprocessed batch stream (ImageDirDataset — the
+    reference's real-data genre, SURVEY.md §2.11). Batches arrive already
+    model-resolution with image/silhouette/part_labels/kp2d/kp_vis keys, so
+    image-space metrics (sil IoU, part accuracy, mIoU, keypoint px) apply;
+    3D metrics need ground-truth SMPL params, which an image directory does
+    not carry. Bounded to one epoch (or max_batches) — not the endless
+    training stream."""
+    run = _preprocessed_eval_fn(cfg)
+    limit = max_batches or dataset.steps_per_epoch()
+    limit = min(limit, dataset.steps_per_epoch())
+    acc: dict[str, float] = {}
+    n = 0
+    for batch in dataset.batches():
+        m = run(params, model_state, consts, batch)
+        for name, v in m.items():
+            acc[name] = acc.get(name, 0.0) + float(v)
+        n += 1
+        if n >= limit:
+            break
+    if n == 0:
+        raise ValueError("dataset yielded no full batches")
+    return {k: v / n for k, v in acc.items()}
+
+
 def main():
     import argparse
     import json
@@ -202,6 +277,12 @@ def main():
         help="score a .npz disk dataset (data/dataset.py format) instead of "
         "the synthetic stream; 3D metrics appear when it has gt_pose/gt_betas",
     )
+    ap.add_argument(
+        "--image-dir",
+        default=None,
+        help="score an image-directory dataset (images/, masks/, "
+        "keypoints.npz; see data/image_dir.py) — image-space metrics only",
+    )
     args = ap.parse_args()
 
     from indirect_learning_pose_shape_tpu.predict import load_model
@@ -209,7 +290,20 @@ def main():
 
     cfg = configs.PRESETS[args.preset]
     params, state, consts = load_model(cfg, args.checkpoint, assets_lib.load_asset())
-    if args.dataset:
+    if args.image_dir:
+        from indirect_learning_pose_shape_tpu.data.image_dir import ImageDirDataset
+
+        ds = ImageDirDataset(
+            args.image_dir,
+            cfg.batch_size,
+            cfg.model.image_size,
+            num_parts=cfg.model.raster.num_parts,
+            seed=cfg.seed,
+        )
+        metrics = evaluate_preprocessed(
+            params, state, consts, cfg, ds, max_batches=args.batches or None
+        )
+    elif args.dataset:
         from indirect_learning_pose_shape_tpu.data.dataset import NpzDataset
 
         ds = NpzDataset(args.dataset, cfg.batch_size, seed=cfg.seed)

@@ -32,6 +32,14 @@ class EncoderConfig:
     compute_dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
+    # Eval-path conv+BN folding: at inference BN is a per-channel affine of
+    # frozen running stats, so it folds into the preceding conv's weights
+    # (w *= scale/sqrt(var+eps), plus a bias term) — one fewer full
+    # elementwise pass over every activation tensor, exactly torch/cuDNN's
+    # deploy-time fusion. Off by default so golden/parity tests measure the
+    # unfused reference path; presets turn it on (bit-differences are bf16
+    # rounding only, tested in test_network.py).
+    fold_bn_eval: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -113,11 +121,22 @@ def _stem_conv_s2d(x, w):
 
 
 def _batch_norm(x, p, s, train: bool, momentum: float, eps: float):
-    """Returns (y, new_state). Stats computed/stored in f32."""
+    """Returns (y, new_state). Stats computed/stored in f32.
+
+    Single-pass statistics (E[x], E[x²] in one fused read of x, var by the
+    Steiner shift) rather than mean-then-var: the BN stats pass is pure HBM
+    bandwidth on TPU, and the two-reduction form made XLA read the (bf16)
+    activation twice. f32 accumulation keeps the E[x²]−E[x]² cancellation at
+    ~1e-7·mean²/var relative — far below the eps=1e-5 floor for conv
+    activations. The normalize itself is a per-channel affine computed in
+    f32 and applied in the compute dtype, so the elementwise pass stays
+    bf16-wide and fuses into the surrounding conv/ReLU.
+    """
     if train:
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=(0, 1, 2))
-        var = jnp.var(x32, axis=(0, 1, 2))
+        meansq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         new_s = {
             "mean": momentum * s["mean"] + (1 - momentum) * mean,
             "var": momentum * s["var"] + (1 - momentum) * var,
@@ -126,8 +145,27 @@ def _batch_norm(x, p, s, train: bool, momentum: float, eps: float):
         mean, var = s["mean"], s["var"]
         new_s = s
     inv = jax.lax.rsqrt(var + eps) * p["scale"]
-    y = (x.astype(jnp.float32) - mean) * inv + p["bias"]
-    return y.astype(x.dtype), new_s
+    shift = p["bias"] - mean * inv
+    y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
+    return y, new_s
+
+
+def _conv_bn(x, w, bnp, bns, cfg: EncoderConfig, train: bool, conv_fn):
+    """conv → BatchNorm, folded into one conv at eval when cfg.fold_bn_eval.
+
+    The fold scales the conv weights per output channel in f32 (a
+    [kh,kw,cin,cout] elementwise op — trivial next to the conv itself) and
+    adds the affine shift to the conv output, eliminating the separate
+    normalize pass over the activation tensor. Mathematically identical to
+    conv+BN with running stats; numerically bf16-rounding-close (tested).
+    """
+    if not train and cfg.fold_bn_eval:
+        inv = jax.lax.rsqrt(bns["var"] + cfg.bn_eps) * bnp["scale"]
+        shift = bnp["bias"] - bns["mean"] * inv
+        y = conv_fn(x, w * inv)
+        return y + shift.astype(y.dtype), bns
+    y = conv_fn(x, w)
+    return _batch_norm(y, bnp, bns, train, cfg.bn_momentum, cfg.bn_eps)
 
 
 def _block_init(key, cin, cout, bottleneck: bool, stride: int):
@@ -162,26 +200,25 @@ def _block_apply(x, p, s, cfg: EncoderConfig, stride: int, train: bool):
     bottleneck = "conv3" in p
     new_s = {}
     shortcut = x
-    if "proj" in p:
-        shortcut = _conv(x, p["proj"], stride)
-        shortcut, new_s["bn_proj"] = _batch_norm(
-            shortcut, p["bn_proj"], s["bn_proj"], train, cfg.bn_momentum, cfg.bn_eps
+
+    def cb(x, wname, bnname, st):
+        return _conv_bn(
+            x, p[wname], p[bnname], s[bnname], cfg, train,
+            lambda x, w: _conv(x, w, st),
         )
+
+    if "proj" in p:
+        shortcut, new_s["bn_proj"] = cb(x, "proj", "bn_proj", stride)
     if bottleneck:
-        y = _conv(x, p["conv1"], 1)
-        y, new_s["bn1"] = _batch_norm(y, p["bn1"], s["bn1"], train, cfg.bn_momentum, cfg.bn_eps)
+        y, new_s["bn1"] = cb(x, "conv1", "bn1", 1)
         y = jax.nn.relu(y)
-        y = _conv(y, p["conv2"], stride)
-        y, new_s["bn2"] = _batch_norm(y, p["bn2"], s["bn2"], train, cfg.bn_momentum, cfg.bn_eps)
+        y, new_s["bn2"] = cb(y, "conv2", "bn2", stride)
         y = jax.nn.relu(y)
-        y = _conv(y, p["conv3"], 1)
-        y, new_s["bn3"] = _batch_norm(y, p["bn3"], s["bn3"], train, cfg.bn_momentum, cfg.bn_eps)
+        y, new_s["bn3"] = cb(y, "conv3", "bn3", 1)
     else:
-        y = _conv(x, p["conv1"], stride)
-        y, new_s["bn1"] = _batch_norm(y, p["bn1"], s["bn1"], train, cfg.bn_momentum, cfg.bn_eps)
+        y, new_s["bn1"] = cb(x, "conv1", "bn1", stride)
         y = jax.nn.relu(y)
-        y = _conv(y, p["conv2"], 1)
-        y, new_s["bn2"] = _batch_norm(y, p["bn2"], s["bn2"], train, cfg.bn_momentum, cfg.bn_eps)
+        y, new_s["bn2"] = cb(y, "conv2", "bn2", 1)
     return jax.nn.relu(y + shortcut), new_s
 
 
@@ -219,11 +256,11 @@ def encoder_apply(
     x = images.astype(cfg.compute_dtype)
     new_state = {}
     if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-        x = _stem_conv_s2d(x, params["stem"])
+        stem_fn = _stem_conv_s2d
     else:
-        x = _conv(x, params["stem"], stride=2)
-    x, new_state["bn_stem"] = _batch_norm(
-        x, params["bn_stem"], state["bn_stem"], train, cfg.bn_momentum, cfg.bn_eps
+        stem_fn = lambda x, w: _conv(x, w, stride=2)  # noqa: E731
+    x, new_state["bn_stem"] = _conv_bn(
+        x, params["stem"], params["bn_stem"], state["bn_stem"], cfg, train, stem_fn
     )
     x = jax.nn.relu(x)
     # Max-pool k=3 s=2 with symmetric pad 1 (torch alignment; SAME would pad

@@ -53,6 +53,38 @@ def ief_init(key, cfg: IEFConfig, feature_dim: int, mean_theta) -> dict:
     return {"layers": layers, "mean_theta": jnp.asarray(mean_theta, jnp.float32)}
 
 
+def load_mean_theta(path: str, cfg: IEFConfig) -> jnp.ndarray:
+    """Load a mean-parameter file for IEF's Θ₀ (SURVEY.md §2.5: the reference
+    initialises from a mean-params file; models/smpl.py mean_params is the
+    synthetic stand-in used when none is given).
+
+    Accepts .npz with a 'mean_theta' key (preferred; tools can add more
+    arrays later) or a bare .npy array. Shape-validated against the
+    configured layout [pose | betas | cam] — the same loud contract as
+    --pretrained — so a file for the wrong rotation format or camera
+    dimensionality cannot load silently.
+    """
+    import numpy as np
+
+    arr = np.load(path)
+    if hasattr(arr, "files"):  # npz
+        if "mean_theta" not in arr.files:
+            raise ValueError(
+                f"mean-params npz {path!r} has keys {arr.files}; expected "
+                "'mean_theta'"
+            )
+        arr = arr["mean_theta"]
+    arr = np.asarray(arr, np.float32).reshape(-1)
+    if arr.shape[0] != cfg.theta_dim:
+        raise ValueError(
+            f"mean-params file {path!r} holds {arr.shape[0]} values; the "
+            f"configured layout needs theta_dim={cfg.theta_dim} "
+            f"(pose {cfg.num_pose} [{cfg.rotation_format}] + betas "
+            f"{cfg.num_betas} + cam {cfg.num_cam})"
+        )
+    return jnp.asarray(arr)
+
+
 def _mlp(layers, x):
     for i, layer in enumerate(layers):
         x = x @ layer["w"] + layer["b"]

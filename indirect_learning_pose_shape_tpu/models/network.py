@@ -125,17 +125,28 @@ def forward_train(
     images: jax.Array,
     cfg: ModelConfig,
     train: bool = True,
+    constrain=None,
 ) -> tuple[dict, dict]:
     """Training path: inference outputs + rendered soft seg map.
 
     train=False gives the rendered outputs with inference-mode BatchNorm
     (running statistics) — what evaluation must measure.
+
+    `constrain` is the spatially-parallel rendering hook
+    (parallel/render_sp.constrainer): on a ('data','render') mesh it shards
+    the raster's image rows over the render axis, making the training-path
+    render itself scale out (worthwhile at ≥512² render sizes — see
+    docs/DESIGN.md §Parallelism).
     """
     outputs, new_state = forward(params, state, consts, images, cfg, train=train)
     verts2d = camera.project_pixel(outputs["verts"], outputs["cam"], cfg.image_size)
     with jax.named_scope("raster"):
         rendered = raster.soft_rasterize(
-            verts2d, consts.part_layout, cfg.raster, impl=cfg.raster_impl
+            verts2d,
+            consts.part_layout,
+            cfg.raster,
+            impl=cfg.raster_impl,
+            constrain=constrain,
         )
     outputs["verts2d"] = verts2d
     outputs["silhouette"] = rendered["silhouette"]

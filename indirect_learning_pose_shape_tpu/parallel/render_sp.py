@@ -52,8 +52,14 @@ def render_mesh(
     return Mesh(arr, (DATA_AXIS, RENDER_AXIS))
 
 
-def _constrainer(mesh: Mesh):
-    """The sharding hook ops/raster.py applies inside the separable path."""
+def constrainer(mesh: Mesh):
+    """The sharding hook ops/raster.py applies inside the separable path.
+
+    Public: train.py threads this through the fused train step when the run
+    mesh carries a 'render' axis (TrainConfig.render_devices > 1), making
+    spatially-parallel rendering a *training* capability, not just the
+    standalone rasterize_spatial below.
+    """
 
     specs = {
         # fy [B, C, S, H]: rows sharded; each render shard builds only its
@@ -101,7 +107,7 @@ def rasterize_spatial(
 # every compiled executable forever.
 @functools.lru_cache(maxsize=16)
 def _compiled(cfg, mesh):
-    constrain = _constrainer(mesh)
+    constrain = constrainer(mesh)
 
     @jax.jit
     def run(verts2d, layout):
@@ -125,7 +131,7 @@ def spatial_render_loss_grad(
     Returns (loss, grad) with grad sharded over 'data' only."""
     from indirect_learning_pose_shape_tpu import losses
 
-    constrain = _constrainer(mesh)
+    constrain = constrainer(mesh)
 
     @jax.jit
     def run(v, t):

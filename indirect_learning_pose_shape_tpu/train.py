@@ -71,6 +71,16 @@ def init_state(cfg: configs.TrainConfig, asset=None):
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_run = jax.random.split(key)
     params, model_state, consts = net.init(k_init, asset, cfg.model)
+    if cfg.mean_params:
+        from indirect_learning_pose_shape_tpu.models.ief import load_mean_theta
+
+        params = dict(
+            params,
+            ief=dict(
+                params["ief"],
+                mean_theta=load_mean_theta(cfg.mean_params, cfg.model.ief),
+            ),
+        )
     if cfg.pretrained:
         params, model_state = _load_pretrained_encoder(
             cfg.pretrained, cfg.model.encoder, params, model_state
@@ -114,9 +124,11 @@ def _load_pretrained_encoder(path: str, enc_cfg, params: dict, state: dict):
     return params, state
 
 
-def loss_and_metrics(params, model_state, consts, batch, cfg: configs.TrainConfig):
+def loss_and_metrics(
+    params, model_state, consts, batch, cfg: configs.TrainConfig, constrain=None
+):
     outputs, new_state = net.forward_train(
-        params, model_state, consts, batch["image"], cfg.model
+        params, model_state, consts, batch["image"], cfg.model, constrain=constrain
     )
     targets = {
         "silhouette": batch["silhouette"],
@@ -138,11 +150,15 @@ def loss_and_metrics(params, model_state, consts, batch, cfg: configs.TrainConfi
     return total, (terms, new_state)
 
 
-def train_step(ts: TrainState, batch, consts, cfg: configs.TrainConfig):
-    """One optimizer step. Jit this (donate ts) — it is the whole hot path."""
+def train_step(ts: TrainState, batch, consts, cfg: configs.TrainConfig, constrain=None):
+    """One optimizer step. Jit this (donate ts) — it is the whole hot path.
+
+    `constrain` (parallel/render_sp.constrainer) row-shards the prediction
+    render over a ('data','render') mesh; None = data-parallel/single-chip.
+    """
     grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
     (_, (terms, new_model_state)), grads = grad_fn(
-        ts.params, ts.model_state, consts, batch, cfg
+        ts.params, ts.model_state, consts, batch, cfg, constrain
     )
     with jax.named_scope("optimizer"):
         updates, new_opt_state = make_optimizer(cfg).update(
@@ -159,21 +175,22 @@ def train_step(ts: TrainState, batch, consts, cfg: configs.TrainConfig):
     return new_ts, terms
 
 
-def make_batch(rng, step, batch_size, consts, cfg: configs.TrainConfig):
+def make_batch(rng, step, batch_size, consts, cfg: configs.TrainConfig, constrain=None):
     """On-device batch for `step`: key is step-indexed (deterministic resume)."""
     key = jax.random.fold_in(rng, step)
     with jax.named_scope("datagen"):
         return synthetic.generate_batch(
-            key, batch_size, consts, cfg.model, cfg.synthetic
+            key, batch_size, consts, cfg.model, cfg.synthetic, constrain=constrain
         )
 
 
 def compile_train_fns(cfg: configs.TrainConfig, consts, mesh=None):
     """Returns (gen_fn, step_fn), jitted; sharded over `mesh` when given."""
+    constrain = _render_constrain(mesh)
     gen = functools.partial(
         make_batch, batch_size=cfg.batch_size, consts=consts, cfg=cfg
     )
-    step = functools.partial(train_step, consts=consts, cfg=cfg)
+    step = functools.partial(train_step, consts=consts, cfg=cfg, constrain=constrain)
     if mesh is None:
         return jax.jit(gen), jax.jit(step, donate_argnums=0)
     data = mesh_lib.batch_sharding(mesh)
@@ -184,22 +201,59 @@ def compile_train_fns(cfg: configs.TrainConfig, consts, mesh=None):
     return gen_sharded, step_sharded
 
 
+def _render_constrain(mesh):
+    """Spatially-parallel render hook when the mesh carries a 'render' axis
+    (parallel/render_sp.py); None for 1-D/absent meshes."""
+    if mesh is None:
+        return None
+    from indirect_learning_pose_shape_tpu.parallel import render_sp
+
+    if render_sp.RENDER_AXIS not in mesh.axis_names:
+        return None
+    return render_sp.constrainer(mesh)
+
+
 def compile_fused_step(cfg: configs.TrainConfig, consts, mesh=None):
     """Single-dispatch train step: on-device batch generation + update in ONE
     jit graph (the BASELINE.json:5 'whole train step is one jit-compiled
     graph' in its strongest form). Under a mesh, a sharding constraint on the
-    generated batch keeps everything downstream data-parallel."""
+    generated batch keeps everything downstream data-parallel; a 2-D
+    ('data','render') mesh additionally row-shards BOTH renders (target +
+    prediction) over the render axis."""
     data = mesh_lib.batch_sharding(mesh) if mesh is not None else None
+    constrain = _render_constrain(mesh)
 
     def fused(ts: TrainState):
         batch = make_batch(
-            ts.rng, ts.step, batch_size=cfg.batch_size, consts=consts, cfg=cfg
+            ts.rng,
+            ts.step,
+            batch_size=cfg.batch_size,
+            consts=consts,
+            cfg=cfg,
+            constrain=constrain,
         )
         if data is not None:
-            batch = jax.tree.map(
-                lambda x: jax.lax.with_sharding_constraint(x, data), batch
-            )
-        return train_step(ts, batch, consts, cfg)
+            if constrain is None:
+                batch = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, data), batch
+                )
+            else:
+                # Image-space targets stay ROW-sharded to match the
+                # row-sharded prediction render — the seg losses then compute
+                # with zero communication; forcing them to P('data') here
+                # would all-gather the targets only to re-shard them in the
+                # loss. Everything else (image for the conv stack, keypoints,
+                # gt diagnostics) is plain data-parallel.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                row = NamedSharding(data.mesh, P(mesh_lib.DATA_AXIS, "render"))
+                batch = {
+                    k: jax.lax.with_sharding_constraint(
+                        v, row if k in ("silhouette", "part_labels") else data
+                    )
+                    for k, v in batch.items()
+                }
+        return train_step(ts, batch, consts, cfg, constrain=constrain)
 
     return jax.jit(fused, donate_argnums=0)
 
@@ -222,7 +276,9 @@ def preprocess_raw_batch(
     size = cfg.model.image_size
     if cfg.augment.enabled and key is not None:
         k_flip, k_box = jax.random.split(key)
-        raw = aug.mirror_raw_batch(raw, k_flip, cfg.augment)
+        raw = aug.mirror_raw_batch(
+            raw, k_flip, cfg.augment, num_parts=cfg.model.raster.num_parts
+        )
         bboxes = jax.vmap(pp.bbox_from_mask)(raw["masks"])
         bboxes = aug.jitter_bboxes(bboxes, k_box, cfg.augment)
     else:
@@ -240,17 +296,40 @@ def preprocess_raw_batch(
     }
 
 
-def data_train_step(ts: TrainState, raw: dict, consts, cfg: configs.TrainConfig):
+def data_train_step(
+    ts: TrainState, raw: dict, consts, cfg: configs.TrainConfig, constrain=None
+):
     """Train step over a raw disk batch: on-device (augment+)preprocess +
     update. The augmentation key is step-indexed from the run RNG, so a
     resumed run replays the exact same flips/jitters it would have seen."""
     key = jax.random.fold_in(ts.rng, ts.step)
     batch = preprocess_raw_batch(raw, consts, cfg, key=key)
-    return train_step(ts, batch, consts, cfg)
+    return train_step(ts, batch, consts, cfg, constrain=constrain)
 
 
 def _auto_mesh(cfg: configs.TrainConfig):
     """Mesh selection shared by fit/fit_dataset (None = single device)."""
+    if cfg.render_devices > 1:
+        from indirect_learning_pose_shape_tpu.parallel import render_sp
+
+        total = cfg.num_devices or len(jax.devices())
+        if total % cfg.render_devices:
+            raise ValueError(
+                f"{total} devices not divisible by render_devices "
+                f"{cfg.render_devices}"
+            )
+        n_data = total // cfg.render_devices
+        if cfg.batch_size % n_data:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by the data axis "
+                f"({n_data} = {total} devices / {cfg.render_devices} render)"
+            )
+        if cfg.model.raster.image_size % cfg.render_devices:
+            raise ValueError(
+                f"render image_size {cfg.model.raster.image_size} not "
+                f"divisible by render_devices {cfg.render_devices}"
+            )
+        return render_sp.render_mesh(n_data, cfg.render_devices)
     if cfg.num_devices is None:
         n = len(jax.devices())
         while n > 1 and cfg.batch_size % n:
@@ -326,9 +405,22 @@ def fit_preprocessed(
 ):
     """Training over a host-preprocessed batch stream (e.g. ImageDirDataset:
     ragged source images reduced to model resolution by the native C++
-    preprocessor on the host; batches feed train_step directly)."""
+    preprocessor on the host; batches feed train_step directly).
+
+    Augmentation on this path is the DATASET's job (the mirror must act on
+    source-resolution arrays before the host-side crop): cfg.augment.enabled
+    without a dataset that augments would be a silent no-op, so it is
+    refused loudly instead."""
     from indirect_learning_pose_shape_tpu.data.dataset import prefetch_to_device
 
+    if cfg.augment.enabled and getattr(dataset, "augment", None) is None:
+        raise ValueError(
+            "cfg.augment.enabled is set but this preprocessed dataset does "
+            "not augment: batches arrive already cropped/resized, so the "
+            "train step cannot mirror them. Construct the dataset with "
+            "augment=cfg.augment (ImageDirDataset supports host-side "
+            "mirror + crop jitter) or disable augmentation."
+        )
     cfg, num_steps = _fold_num_steps(cfg, num_steps)
     ts, consts = init_state(cfg, asset)
     ckpt, ts = _setup_checkpoint(cfg, ts, num_steps)
@@ -339,7 +431,10 @@ def fit_preprocessed(
         consts = mesh_lib.replicate_pytree(consts, mesh)
         sharding = mesh_lib.batch_sharding(mesh)
     step_fn = jax.jit(
-        functools.partial(train_step, consts=consts, cfg=cfg), donate_argnums=0
+        functools.partial(
+            train_step, consts=consts, cfg=cfg, constrain=_render_constrain(mesh)
+        ),
+        donate_argnums=0,
     )
     start = int(ts.step)
     batches = prefetch_to_device(
@@ -388,7 +483,10 @@ def fit_dataset(
         consts = mesh_lib.replicate_pytree(consts, mesh)
         sharding = mesh_lib.batch_sharding(mesh)
     step_fn = jax.jit(
-        functools.partial(data_train_step, consts=consts, cfg=cfg), donate_argnums=0
+        functools.partial(
+            data_train_step, consts=consts, cfg=cfg, constrain=_render_constrain(mesh)
+        ),
+        donate_argnums=0,
     )
     start = int(ts.step)
     # Filter to the keys the step uses BEFORE prefetch so unused arrays
@@ -505,6 +603,12 @@ def main():
         "tools/import_resnet_weights.py (SURVEY.md §2.4)",
     )
     ap.add_argument(
+        "--mean-params",
+        default=None,
+        help="mean-parameter file (npz 'mean_theta' or .npy) initialising "
+        "IEF's Θ₀ (SURVEY.md §2.5); default is the neutral stand-in",
+    )
+    ap.add_argument(
         "--tensorboard",
         default=None,
         help="directory for TensorBoard event files (utils/metrics.py)",
@@ -522,11 +626,13 @@ def main():
     if args.checkpoint_dir:
         updates["checkpoint_dir"] = args.checkpoint_dir
     if args.augment:
-        from indirect_learning_pose_shape_tpu.data.augment import AugmentConfig
-
-        updates["augment"] = AugmentConfig(enabled=True)
+        # replace(), not a fresh AugmentConfig: presets may carry a non-default
+        # part convention (e.g. config4_parts31) that must survive the flag.
+        updates["augment"] = dataclasses.replace(cfg.augment, enabled=True)
     if args.pretrained:
         updates["pretrained"] = args.pretrained
+    if args.mean_params:
+        updates["mean_params"] = args.mean_params
     if args.tensorboard:
         updates["tensorboard_dir"] = args.tensorboard
     if args.image_size:
@@ -562,6 +668,7 @@ def main():
                 cfg.model.image_size,
                 num_parts=cfg.model.raster.num_parts,
                 seed=cfg.seed,
+                augment=cfg.augment if cfg.augment.enabled else None,
             )
             _, terms = fit_preprocessed(
                 cfg, ds, num_steps=args.steps, metrics_path=args.metrics

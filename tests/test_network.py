@@ -141,3 +141,85 @@ def test_network_rot6d_variant(tiny_asset, rng):
     assert np.isfinite(hist[-1])
     assert "pose_err" not in terms  # param-space error undefined across formats
     assert ts.params["ief"]["mean_theta"].shape == (24 * 6 + 10 + 3,)
+
+
+def test_mean_params_import_roundtrip(tiny_asset, tmp_path):
+    """--mean-params loads a real Θ₀ into IEF (SURVEY.md §2.5; VERDICT r2
+    missing #2): roundtrip npz + npy, shape validation, and the loaded mean
+    drives the zero-init IEF's first iterate."""
+    import dataclasses
+
+    import numpy as np
+
+    from indirect_learning_pose_shape_tpu import train
+    from indirect_learning_pose_shape_tpu.models import ief as ief_mod
+    from tests.test_train import tiny_train_cfg
+
+    cfg = tiny_train_cfg()
+    theta = np.linspace(-0.4, 0.6, cfg.model.ief.theta_dim).astype(np.float32)
+    npz = str(tmp_path / "mean.npz")
+    np.savez(npz, mean_theta=theta)
+
+    ts, _ = train.init_state(
+        dataclasses.replace(cfg, mean_params=npz), asset=tiny_asset
+    )
+    np.testing.assert_array_equal(np.asarray(ts.params["ief"]["mean_theta"]), theta)
+
+    npy = str(tmp_path / "mean.npy")
+    np.save(npy, theta)
+    loaded = ief_mod.load_mean_theta(npy, cfg.model.ief)
+    np.testing.assert_array_equal(np.asarray(loaded), theta)
+
+    # Wrong layout refused loudly (e.g. a rot6d file on an axis-angle run).
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, mean_theta=np.zeros(7, np.float32))
+    with pytest.raises(ValueError, match="theta_dim"):
+        ief_mod.load_mean_theta(bad, cfg.model.ief)
+    wrongkey = str(tmp_path / "wk.npz")
+    np.savez(wrongkey, theta=theta)
+    with pytest.raises(ValueError, match="mean_theta"):
+        ief_mod.load_mean_theta(wrongkey, cfg.model.ief)
+
+
+def test_fold_bn_eval_matches_unfused():
+    """Eval-path conv+BN folding is the same function: f32 agreement is
+    tight; bf16 agreement is at bf16 rounding scale."""
+    rng = np.random.RandomState(0)
+    for dtype, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)):
+        cfg = enc.EncoderConfig(depth=18, compute_dtype=dtype)
+        params, state = enc.encoder_init(jax.random.PRNGKey(0), cfg)
+        # Non-trivial running stats so the fold actually has work to do.
+        state = jax.tree.map(
+            lambda x: x + jnp.asarray(rng.rand(*x.shape), x.dtype) * 0.3, state
+        )
+        x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+        ref, _ = enc.encoder_apply(params, state, x, cfg, train=False)
+        folded_cfg = dataclasses.replace(cfg, fold_bn_eval=True)
+        out, _ = enc.encoder_apply(params, state, x, folded_cfg, train=False)
+        err = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert err < tol, (dtype, err)
+        # Training path ignores the flag entirely (batch stats, no fold).
+        t1, s1 = enc.encoder_apply(params, state, x, cfg, train=True)
+        t2, s2 = enc.encoder_apply(params, state, x, folded_cfg, train=True)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_batch_norm_single_pass_stats():
+    """Single-pass E[x²]−E[x]² variance matches two-pass numpy var in f32."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray((rng.randn(4, 8, 8, 16) * 3 + 50).astype(np.float32))
+    p = {"scale": jnp.full((16,), 1.3), "bias": jnp.full((16,), 0.2)}
+    s = {"mean": jnp.zeros((16,)), "var": jnp.ones((16,))}
+    y, ns = enc._batch_norm(x, p, s, train=True, momentum=0.9, eps=1e-5)
+    xn = np.asarray(x)
+    mean = xn.mean((0, 1, 2))
+    var = xn.var((0, 1, 2))
+    # Large mean (50) vs small var (9): the cancellation-prone regime.
+    np.testing.assert_allclose(
+        np.asarray(ns["var"]), 0.9 * 1.0 + 0.1 * var, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ns["mean"]), 0.1 * mean, rtol=1e-5, atol=1e-5
+    )
+    ref = (xn - mean) / np.sqrt(var + 1e-5) * 1.3 + 0.2
+    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-3)

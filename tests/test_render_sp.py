@@ -74,3 +74,65 @@ def test_indivisible_rows_rejected(rng):
     mesh = render_sp.render_mesh(n_data=2, n_render=4)
     with pytest.raises(ValueError, match="divisible"):
         render_sp.rasterize_spatial(verts2d, layout, cfg, mesh)
+
+
+@pytest.mark.slow
+def test_sp_train_step_matches_data_parallel(tiny_asset):
+    """A full fused TRAIN step on the 2x4 ('data','render') mesh — both
+    renders row-sharded via TrainConfig.render_devices — produces the same
+    loss as the 1-D 8-device data-parallel step (VERDICT r2 next #4).
+    f32 tolerance: reduction orders differ across shardings."""
+    import dataclasses
+
+    from indirect_learning_pose_shape_tpu import train
+    from tests.test_train import tiny_train_cfg
+
+    base = tiny_train_cfg(image_size=32, batch_size=8)
+
+    def one_step(cfg):
+        ts, consts = train.init_state(cfg, tiny_asset)
+        mesh = train._auto_mesh(cfg)
+        assert mesh is not None
+        from indirect_learning_pose_shape_tpu.parallel import mesh as mesh_lib
+
+        ts = mesh_lib.replicate_pytree(ts, mesh)
+        consts = mesh_lib.replicate_pytree(consts, mesh)
+        fused = train.compile_fused_step(cfg, consts, mesh)
+        ts2, terms = fused(ts)
+        return mesh, ts2, terms
+
+    sp_cfg = dataclasses.replace(base, render_devices=4, num_devices=8)
+    mesh_sp, ts_sp, terms_sp = one_step(sp_cfg)
+    assert set(mesh_sp.axis_names) == {"data", "render"}
+    assert mesh_sp.shape["render"] == 4 and mesh_sp.shape["data"] == 2
+
+    dp_cfg = dataclasses.replace(base, num_devices=8)
+    mesh_dp, ts_dp, terms_dp = one_step(dp_cfg)
+    assert mesh_dp.axis_names == ("data",)
+
+    np.testing.assert_allclose(
+        float(terms_sp["total"]), float(terms_dp["total"]), rtol=2e-3
+    )
+    # Params after the step agree too (same grads up to reduction order).
+    d = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), ts_sp.params, ts_dp.params
+    )
+    assert max(jax.tree.leaves(d)) < 5e-3
+
+
+@pytest.mark.slow
+def test_sp_mesh_validation():
+    import dataclasses
+
+    from indirect_learning_pose_shape_tpu import train
+    from tests.test_train import tiny_train_cfg
+
+    base = tiny_train_cfg(image_size=32, batch_size=8)
+    with pytest.raises(ValueError, match="not divisible by render_devices"):
+        train._auto_mesh(dataclasses.replace(base, render_devices=3, num_devices=8))
+    with pytest.raises(ValueError, match="not divisible by the data axis"):
+        train._auto_mesh(
+            dataclasses.replace(
+                base, render_devices=2, num_devices=8, batch_size=6
+            )
+        )

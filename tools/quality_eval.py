@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Quality-evaluation protocol with error bars (VERDICT r2 next #7).
+
+Single-seed eval deltas at the ~1% scale sit inside the synthetic stream's
+sampling noise (evaluate.py docstring), so quality claims need spread. This
+tool fixes the protocol every "best model" claim must use:
+
+  PROTOCOL (declared here, reused by future rounds):
+  - metrics: evaluate.evaluate() on the held-out synthetic stream
+  - seeds: 123, 231, 312 (three disjoint streams; --seeds overrides)
+  - batches: 8 per seed at the preset's batch size
+  - checkpoint: the run's latest (orbax auto-pick via --checkpoint dir)
+  - report: per-metric mean ± half-range across seeds; a claimed
+    improvement counts only if the means differ by more than the SUM of
+    the two runs' half-ranges on that metric.
+
+    python tools/quality_eval.py --preset config4_large --checkpoint DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+PROTOCOL_SEEDS = (123, 231, 312)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", default="config4_full")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--seeds", type=int, nargs="+", default=list(PROTOCOL_SEEDS))
+    args = ap.parse_args()
+
+    from indirect_learning_pose_shape_tpu import configs, evaluate
+    from indirect_learning_pose_shape_tpu.predict import load_model
+    from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
+
+    cfg = configs.PRESETS[args.preset]
+    params, state, consts = load_model(cfg, args.checkpoint, assets_lib.load_asset())
+
+    per_seed = {}
+    for seed in args.seeds:
+        per_seed[seed] = evaluate.evaluate(
+            params, state, consts, cfg, num_batches=args.batches, seed=seed
+        )
+        print(f"seed {seed}: {json.dumps({k: round(v, 5) for k, v in per_seed[seed].items()})}",
+              file=sys.stderr)
+
+    metrics = sorted(next(iter(per_seed.values())))
+    summary = {}
+    for m in metrics:
+        vals = [per_seed[s][m] for s in args.seeds]
+        mean = sum(vals) / len(vals)
+        half_range = (max(vals) - min(vals)) / 2.0
+        summary[m] = {"mean": round(mean, 5), "pm": round(half_range, 5)}
+    out = {
+        "preset": args.preset,
+        "checkpoint": args.checkpoint,
+        "seeds": args.seeds,
+        "batches": args.batches,
+        "metrics": summary,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
