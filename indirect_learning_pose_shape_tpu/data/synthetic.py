@@ -90,22 +90,37 @@ def generate_batch(
     target_raster_cfg = dataclasses.replace(
         model_cfg.raster, matmul_precision="default"
     )
-    rendered = raster.soft_rasterize(
+    # Target path: raw class scores only, in bf16 — no [B,H,W,C+1]
+    # normalized-probability tensor. The targets are thresholds/argmaxes of
+    # the scores and the synthetic image is an affine palette mix, so the
+    # probs tensor the differentiated prediction path materializes is pure
+    # HBM traffic here (identities, with denom = bg_gamma + Σc score_c):
+    #   argmax(probs)  == 0 if bg_gamma >= max_c score_c else argmax(score)+1
+    #   soft_sil > 0.5 ⇔  Σc score_c > bg_gamma
+    #   probs @ palette == (bg_gamma·palette₀ + score @ palette₁₊) / denom
+    score = raster.raster_scores(
         verts2d,
         consts.part_layout,
         target_raster_cfg,
         impl=model_cfg.raster_impl,
         constrain=constrain,
-    )
+        out_dtype=jnp.bfloat16,
+    )  # [B, S*S, C]
     kp2d = camera.project_pixel(smpl_out["kp3d"], cam, size)
 
-    probs = rendered["probs"]  # [B, S, S, C+1]
-    part_labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    bg = float(model_cfg.raster.bg_gamma)
+    s_total = jnp.sum(score, axis=-1, dtype=jnp.float32)  # [B, S*S]
+    best = jnp.argmax(score, axis=-1).astype(jnp.int32)
+    mx = jnp.max(score, axis=-1).astype(jnp.float32)
+    part_labels = jnp.where(mx > bg, best + 1, 0).reshape(batch, size, size)
     # Binarised silhouette target (what a dataset mask would look like).
-    silhouette = (rendered["silhouette"] > 0.5).astype(jnp.float32)
+    silhouette = (s_total > bg).reshape(batch, size, size).astype(jnp.float32)
 
-    palette = _part_palette(probs.shape[-1])
-    image = jnp.einsum("bhwc,cd->bhwd", probs, palette)
+    palette = _part_palette(model_cfg.raster.num_parts + 1)
+    mix = bg * palette[0] + jnp.einsum(
+        "bpc,cd->bpd", score, palette[1:].astype(score.dtype)
+    ).astype(jnp.float32)
+    image = (mix / (bg + s_total)[..., None]).reshape(batch, size, size, 3)
     image = image + cfg.image_noise * jax.random.normal(k_noise, image.shape)
     image = jnp.clip(image, 0.0, 1.0) * 2.0 - 1.0
 

@@ -44,6 +44,37 @@ def part_seg_ce(pred_probs: jax.Array, target_labels: jax.Array) -> jax.Array:
     return -jnp.sum(mask * logp) / (mask.size // pred_probs.shape[-1])
 
 
+def part_seg_ce_scores(
+    score_cp: jax.Array,
+    s_total: jax.Array,
+    bg_gamma: float,
+    target_labels: jax.Array,
+) -> jax.Array:
+    """part_seg_ce computed from RAW class scores (ops/raster.py
+    soft_rasterize_train) without materializing the normalized probs:
+
+        CE(pixel) = −log probs[label]
+                  = log(bg_gamma + Σc score_c) − log(score_label or bg_gamma)
+
+    score_cp [B, C, H*W] channel-first, s_total [B, H*W] = Σc score,
+    target_labels [B, H, W] int (0 = background). The label pick uses the
+    same dense-mask form as part_seg_ce (elementwise fwd AND bwd — a
+    take_along_axis would put an XLA scatter over [B,C,P] in the backward);
+    per-pixel log/normalization happens on [B,P] scalars, which is the
+    entire point: one pass over the [B,C,P] score instead of three over
+    [B,P,C+1] probs. Equal to part_seg_ce(soft probs) to f32 rounding
+    (tested in test_losses.py).
+    """
+    B, C, P = score_cp.shape
+    labels = target_labels.reshape(B, P)
+    classes = jnp.arange(1, C + 1, dtype=labels.dtype)
+    mask = (labels[:, None, :] == classes[:, None]).astype(score_cp.dtype)
+    picked = jnp.sum(mask * score_cp, axis=1).astype(jnp.float32)  # [B, P]
+    picked = jnp.where(labels == 0, bg_gamma, picked)
+    ce = jnp.log(bg_gamma + s_total) - jnp.log(jnp.clip(picked, _EPS, None))
+    return jnp.mean(ce)
+
+
 def keypoint_l2(
     pred_kp2d: jax.Array, target_kp2d: jax.Array, visibility: jax.Array,
     image_size: int,
@@ -83,8 +114,10 @@ def total_loss(
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Weighted sum of the indirect-learning losses.
 
-    outputs: silhouette [B,H,W], probs [B,H,W,C+1], kp2d [B,K,2],
-             pose [B,72], betas [B,10]
+    outputs: silhouette [B,H,W], kp2d [B,K,2], pose [B,72], betas [B,10],
+             and EITHER probs [B,H,W,C+1] (normalized, eval/predict path)
+             OR score_cp [B,C,H*W] + s_total [B,H*W] + bg_gamma (score form,
+             the training hot path — ops/raster.py soft_rasterize_train).
     targets: silhouette [B,H,W] and/or part_labels [B,H,W] int,
              kp2d [B,K,2], kp_vis [B,K]
     weights: keys among {'sil_bce','sil_iou','part_ce','kp','shape_reg',
@@ -96,7 +129,15 @@ def total_loss(
     if weights.get("sil_iou", 0.0):
         terms["sil_iou"] = silhouette_iou(outputs["silhouette"], targets["silhouette"])
     if weights.get("part_ce", 0.0):
-        terms["part_ce"] = part_seg_ce(outputs["probs"], targets["part_labels"])
+        if "score_cp" in outputs:
+            terms["part_ce"] = part_seg_ce_scores(
+                outputs["score_cp"],
+                outputs["s_total"],
+                outputs["bg_gamma"],
+                targets["part_labels"],
+            )
+        else:
+            terms["part_ce"] = part_seg_ce(outputs["probs"], targets["part_labels"])
     if weights.get("kp", 0.0):
         terms["kp"] = keypoint_l2(
             outputs["kp2d"], targets["kp2d"], targets["kp_vis"], image_size

@@ -126,6 +126,7 @@ def forward_train(
     cfg: ModelConfig,
     train: bool = True,
     constrain=None,
+    probs: bool = True,
 ) -> tuple[dict, dict]:
     """Training path: inference outputs + rendered soft seg map.
 
@@ -137,18 +138,36 @@ def forward_train(
     the raster's image rows over the render axis, making the training-path
     render itself scale out (worthwhile at ≥512² render sizes — see
     docs/DESIGN.md §Parallelism).
+
+    probs=False uses the score-form render (raster.soft_rasterize_train):
+    outputs carry score_cp/s_total/bg_gamma instead of the [B,H,W,C+1]
+    probs tensor, which losses.total_loss consumes directly — the training
+    hot path. Eval/predict keep probs=True (part metrics and
+    visualisations want normalized class probabilities).
     """
     outputs, new_state = forward(params, state, consts, images, cfg, train=train)
     verts2d = camera.project_pixel(outputs["verts"], outputs["cam"], cfg.image_size)
     with jax.named_scope("raster"):
-        rendered = raster.soft_rasterize(
-            verts2d,
-            consts.part_layout,
-            cfg.raster,
-            impl=cfg.raster_impl,
-            constrain=constrain,
-        )
+        if probs:
+            rendered = raster.soft_rasterize(
+                verts2d,
+                consts.part_layout,
+                cfg.raster,
+                impl=cfg.raster_impl,
+                constrain=constrain,
+            )
+            outputs["probs"] = rendered["probs"]
+        else:
+            rendered = raster.soft_rasterize_train(
+                verts2d,
+                consts.part_layout,
+                cfg.raster,
+                impl=cfg.raster_impl,
+                constrain=constrain,
+            )
+            outputs["score_cp"] = rendered["score_cp"]
+            outputs["s_total"] = rendered["s_total"]
+            outputs["bg_gamma"] = cfg.raster.bg_gamma
     outputs["verts2d"] = verts2d
     outputs["silhouette"] = rendered["silhouette"]
-    outputs["probs"] = rendered["probs"]
     return outputs, new_state

@@ -146,7 +146,11 @@ def _chunk_size(total: int, requested: int) -> int:
 
 
 def _raster_scores_separable(
-    verts2d: jax.Array, layout: PartLayout, cfg: RasterConfig, constrain=None
+    verts2d: jax.Array,
+    layout: PartLayout,
+    cfg: RasterConfig,
+    constrain=None,
+    out_dtype=None,
 ) -> jax.Array:
     """Separable-Gaussian scores: the whole rasterizer as batched MXU matmuls.
 
@@ -195,10 +199,27 @@ def _raster_scores_separable(
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
     }[cfg.matmul_precision]
-    score = jnp.einsum("bcsh,bcsw->bchw", fy, fx, precision=prec)
+    if out_dtype is not None:
+        # Data-only consumers (target generation: threshold/argmax/palette)
+        # can take the score in bf16 — halves the [B,C,H,W] HBM footprint
+        # and every downstream read. Factors cast in, accumulation stays
+        # f32 on the MXU, output rounds once to bf16 (~1e-2 relative, the
+        # same scale the 'default'-precision A/B already validated).
+        fy, fx = fy.astype(out_dtype), fx.astype(out_dtype)
+        score = jnp.einsum(
+            "bcsh,bcsw->bchw", fy, fx, preferred_element_type=out_dtype
+        )
+    else:
+        score = jnp.einsum("bcsh,bcsw->bchw", fy, fx, precision=prec)
     if constrain is not None:
         score = constrain("score_bchw", score)
-    return jnp.moveaxis(score.reshape(B, C, size * size), 1, 2)
+    return score
+
+
+def _scores_to_bpc(score_bchw: jax.Array) -> jax.Array:
+    """[B, C, H, W] -> [B, H*W, C] (the channel-last public layout)."""
+    B, C = score_bchw.shape[:2]
+    return jnp.moveaxis(score_bchw.reshape(B, C, -1), 1, 2)
 
 
 def raster_scores(
@@ -207,6 +228,7 @@ def raster_scores(
     cfg: RasterConfig,
     impl: str = "auto",
     constrain=None,
+    out_dtype=None,
 ) -> jax.Array:
     """Per-class Gaussian scores. verts2d [B,V,2] (pixels) -> [B, H*W, C].
 
@@ -214,12 +236,18 @@ def raster_scores(
     (pairwise gather/segment-sum) | 'pallas' (culled VPU kernel) | 'auto'.
     All three compute the same sum-of-Gaussians up to f32 rounding.
     `constrain` (separable only) is the sharding hook used by
-    parallel/render_sp.py for spatially-parallel rendering.
+    parallel/render_sp.py for spatially-parallel rendering. `out_dtype`
+    (separable only) emits the score in a narrower dtype for data-only
+    consumers (target generation); differentiated paths leave it None.
     """
     if impl == "auto":
         impl = "separable"
     if impl == "separable":
-        return _raster_scores_separable(verts2d, layout, cfg, constrain=constrain)
+        return _scores_to_bpc(
+            _raster_scores_separable(
+                verts2d, layout, cfg, constrain=constrain, out_dtype=out_dtype
+            )
+        )
     if impl == "pallas":
         from indirect_learning_pose_shape_tpu.ops.kernels.raster_pallas import (
             raster_scores_pallas,
@@ -273,6 +301,48 @@ def soft_rasterize(
     ).reshape(B, size, size, C + 1)
     sil = (s_total / denom).reshape(B, size, size)
     return {"probs": probs, "silhouette": sil}
+
+
+def soft_rasterize_train(
+    verts2d: jax.Array,
+    layout: PartLayout,
+    cfg: RasterConfig,
+    impl: str = "auto",
+    constrain=None,
+) -> dict[str, jax.Array]:
+    """Score-form rasterization for the TRAINING losses.
+
+    Identical math to soft_rasterize, but the [B,H,W,C+1] normalized
+    probability tensor is never materialized — the hot-path losses only need
+    the raw class scores and the score total (losses.part_seg_ce_scores
+    folds the normalization into per-pixel scalars):
+
+      probs_c  = score_c / (bg_gamma + Σ score)     (c >= 1)
+      probs_0  = bg_gamma / (bg_gamma + Σ score)
+      sil      = Σ score / (bg_gamma + Σ score)
+
+    On the separable path the score additionally stays in its native
+    channel-FIRST layout, eliminating the [B,P,C] transpose that the
+    channel-last probs layout forced (measured 0.6 ms/step at 256² B=32).
+
+    Returns:
+      score_cp   [B, C, H*W]  raw per-class scores (channel-first)
+      s_total    [B, H*W]     Σ_c score (f32)
+      silhouette [B, H, W]    soft foreground probability (as soft_rasterize)
+    """
+    B = verts2d.shape[0]
+    size, C = cfg.image_size, cfg.num_parts
+    if impl in ("auto", "separable"):
+        score_cp = _raster_scores_separable(
+            verts2d, layout, cfg, constrain=constrain
+        ).reshape(B, C, size * size)
+    else:
+        score_cp = jnp.moveaxis(
+            raster_scores(verts2d, layout, cfg, impl=impl), 1, 2
+        )
+    s_total = jnp.sum(score_cp, axis=1)
+    sil = (s_total / (cfg.bg_gamma + s_total)).reshape(B, size, size)
+    return {"score_cp": score_cp, "s_total": s_total, "silhouette": sil}
 
 
 def part_onehot(part_labels: np.ndarray, num_parts: int) -> np.ndarray:

@@ -128,7 +128,13 @@ def loss_and_metrics(
     params, model_state, consts, batch, cfg: configs.TrainConfig, constrain=None
 ):
     outputs, new_state = net.forward_train(
-        params, model_state, consts, batch["image"], cfg.model, constrain=constrain
+        params,
+        model_state,
+        consts,
+        batch["image"],
+        cfg.model,
+        constrain=constrain,
+        probs=False,  # score-form render: losses never materialize probs
     )
     targets = {
         "silhouette": batch["silhouette"],
