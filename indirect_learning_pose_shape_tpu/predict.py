@@ -35,7 +35,12 @@ def load_model(
     checkpoint_dir: Optional[str] = None,
     asset=None,
 ):
-    """Returns (params, state, consts). Restores the latest checkpoint if given."""
+    """Returns (params, state, consts). Restores the latest checkpoint if given.
+
+    Restores params + model (BN) state only — deliberately NOT the optimizer
+    state, so a checkpoint written by a run with different optimizer
+    plumbing (clip chain, AdamW, schedule) loads fine for evaluation.
+    """
     from indirect_learning_pose_shape_tpu import train
 
     ts, consts = train.init_state(cfg, asset)
@@ -43,9 +48,12 @@ def load_model(
         from indirect_learning_pose_shape_tpu.utils.checkpoint import Checkpointer
 
         ckpt = Checkpointer(checkpoint_dir)
-        restored = ckpt.restore(dataclasses.asdict(ts))
+        abstract = dataclasses.asdict(ts)
+        restored = ckpt.restore_partial(
+            {"params": abstract["params"], "model_state": abstract["model_state"]}
+        )
         ckpt.close()
-        ts = train.TrainState(**restored)
+        return restored["params"], restored["model_state"], consts
     return ts.params, ts.model_state, consts
 
 
@@ -106,7 +114,76 @@ def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
             f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
 
 
-def save_overlay(path: str, image, silhouette, kp2d, part_map=None) -> None:
+def shade_mesh(
+    verts2d: np.ndarray,
+    verts_z: np.ndarray,
+    faces: np.ndarray,
+    size: int,
+    light=(0.35, -0.5, 0.79),
+) -> np.ndarray:
+    """Flat-shaded, z-buffered software render of the projected mesh.
+
+    The reference genre's vis path may use OpenDR's shaded renderer
+    (SURVEY.md §2.11/§0.1 item 6); this is the dependency-free numpy
+    equivalent — Lambertian flat shading per triangle, painter-correct via a
+    z-buffer. Vis-only: the differentiable training rasterizer
+    (ops/raster.py) never touches triangles. Returns [size, size] in [0,1]
+    (0 = background).
+    """
+    v = np.concatenate(
+        [np.asarray(verts2d, np.float32), np.asarray(verts_z, np.float32)[:, None]],
+        axis=1,
+    )
+    tri = v[np.asarray(faces, np.int64)]  # [F, 3, 3] (x_px, y_px, z)
+    # Face normals from screen-space x/y + true z: orient toward the viewer.
+    e1, e2 = tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]
+    n = np.cross(e1, e2)
+    flip = n[:, 2] < 0
+    n[flip] = -n[flip]
+    norm = np.linalg.norm(n, axis=1)
+    ok = norm > 1e-9
+    n[ok] /= norm[ok, None]
+    l = np.asarray(light, np.float32)
+    l = l / np.linalg.norm(l)
+    shade = 0.25 + 0.75 * np.clip(n @ l, 0.0, 1.0)
+
+    img = np.zeros((size, size), np.float32)
+    zbuf = np.full((size, size), -np.inf, np.float32)
+    order = np.argsort(tri[:, :, 2].mean(axis=1))  # far-to-near helps cache
+    for f in order:
+        if not ok[f]:
+            continue
+        t = tri[f]
+        x0, x1 = int(np.floor(t[:, 0].min())), int(np.ceil(t[:, 0].max()))
+        y0, y1 = int(np.floor(t[:, 1].min())), int(np.ceil(t[:, 1].max()))
+        x0, y0 = max(x0, 0), max(y0, 0)
+        x1, y1 = min(x1, size - 1), min(y1, size - 1)
+        if x1 < x0 or y1 < y0:
+            continue
+        xs, ys = np.meshgrid(
+            np.arange(x0, x1 + 1, dtype=np.float32),
+            np.arange(y0, y1 + 1, dtype=np.float32),
+        )
+        d = (t[1, 0] - t[0, 0]) * (t[2, 1] - t[0, 1]) - (t[2, 0] - t[0, 0]) * (
+            t[1, 1] - t[0, 1]
+        )
+        if abs(d) < 1e-9:
+            continue
+        w1 = ((xs - t[0, 0]) * (t[2, 1] - t[0, 1]) - (t[2, 0] - t[0, 0]) * (ys - t[0, 1])) / d
+        w2 = ((t[1, 0] - t[0, 0]) * (ys - t[0, 1]) - (xs - t[0, 0]) * (t[1, 1] - t[0, 1])) / d
+        w0 = 1.0 - w1 - w2
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        if not inside.any():
+            continue
+        z = w0 * t[0, 2] + w1 * t[1, 2] + w2 * t[2, 2]
+        sub_z = zbuf[y0 : y1 + 1, x0 : x1 + 1]
+        upd = inside & (z > sub_z)
+        sub_z[upd] = z[upd]
+        img[y0 : y1 + 1, x0 : x1 + 1][upd] = shade[f]
+    return img
+
+
+def save_overlay(path: str, image, silhouette, kp2d, part_map=None, shaded=None) -> None:
     """Input + keypoints, soft silhouette, and (optionally) part map -> PNG."""
     import matplotlib
 
@@ -115,7 +192,7 @@ def save_overlay(path: str, image, silhouette, kp2d, part_map=None) -> None:
 
     img = np.asarray(image)
     img = (img + 1.0) / 2.0 if img.min() < 0 else img
-    ncols = 3 if part_map is not None else 2
+    ncols = 2 + (part_map is not None) + (shaded is not None)
     fig, axes = plt.subplots(1, ncols, figsize=(4 * ncols, 4))
     axes[0].imshow(np.clip(img, 0, 1))
     axes[0].scatter(kp2d[:, 0], kp2d[:, 1], c="lime", s=12, marker="+")
@@ -123,9 +200,14 @@ def save_overlay(path: str, image, silhouette, kp2d, part_map=None) -> None:
     axes[1].imshow(np.clip(img, 0, 1))
     axes[1].imshow(np.asarray(silhouette), alpha=0.5, cmap="viridis")
     axes[1].set_title("predicted soft silhouette")
+    col = 2
     if part_map is not None:
-        axes[2].imshow(np.asarray(part_map), cmap="tab20", interpolation="nearest")
-        axes[2].set_title("predicted body-part segmentation")
+        axes[col].imshow(np.asarray(part_map), cmap="tab20", interpolation="nearest")
+        axes[col].set_title("predicted body-part segmentation")
+        col += 1
+    if shaded is not None:
+        axes[col].imshow(np.asarray(shaded), cmap="gray", vmin=0.0, vmax=1.0)
+        axes[col].set_title("shaded predicted mesh")
     for ax in axes:
         ax.axis("off")
     fig.tight_layout()
@@ -198,6 +280,11 @@ def main():
     kp2d = np.asarray(outputs["kp2d"])
     sil = np.asarray(rendered["silhouette"])
     parts = np.argmax(np.asarray(rendered["probs"]), axis=-1)
+    from indirect_learning_pose_shape_tpu.ops import camera as camera_mod
+
+    verts2d = np.asarray(
+        camera_mod.project_pixel(outputs["verts"], outputs["cam"], size)
+    )
     for i in range(images.shape[0]):
         save_obj(os.path.join(args.out, f"mesh_{i}.obj"), verts[i], asset.faces)
         save_overlay(
@@ -206,6 +293,7 @@ def main():
             sil[i],
             kp2d[i],
             parts[i],
+            shaded=shade_mesh(verts2d[i], verts[i][:, 2], asset.faces, size),
         )
     print(f"wrote {images.shape[0]} overlays + meshes to {args.out}")
 

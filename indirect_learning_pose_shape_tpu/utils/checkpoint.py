@@ -38,6 +38,29 @@ class Checkpointer:
             raise FileNotFoundError("no checkpoint found")
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
 
+    def restore_partial(self, abstract_subtree: Any, step: Optional[int] = None) -> Any:
+        """Restore only the keys present in `abstract_subtree`.
+
+        Eval/inference paths need params + BN state but must not depend on
+        the TRAINING run's optimizer pytree structure — a checkpoint written
+        with e.g. clip-chained AdamW has a different opt_state shape than
+        the plain-Adam abstract state a preset would build, and a full
+        StandardRestore refuses the mismatch. Partial restore makes loading
+        a model for evaluation optimizer-agnostic.
+        """
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        # Template-free restore: no structural validation against an abstract
+        # state (this orbax has no partial_restore kwarg), then project onto
+        # the requested keys. Arrays come back host-side; eval jits move them.
+        full = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        missing = [k for k in abstract_subtree if k not in full]
+        if missing:
+            raise KeyError(f"checkpoint lacks keys {missing}")
+        return {k: full[k] for k in abstract_subtree}
+
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()

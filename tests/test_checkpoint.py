@@ -161,3 +161,33 @@ def test_fit_auto_resumes_from_checkpoint_dir(tiny_asset, tmp_path):
     np.testing.assert_allclose(
         float(terms_resumed["total"]), float(terms_full["total"]), rtol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_load_model_is_optimizer_agnostic(tiny_asset, tmp_path):
+    """predict.load_model restores a checkpoint written with a DIFFERENT
+    optimizer structure (clip-chained AdamW vs the preset's plain Adam):
+    eval must not depend on the training run's opt_state pytree."""
+    from indirect_learning_pose_shape_tpu import evaluate as eval_mod
+    from indirect_learning_pose_shape_tpu.predict import load_model
+    from tests.test_train import tiny_train_cfg
+
+    train_cfg = dataclasses.replace(
+        tiny_train_cfg(),
+        grad_clip_norm=1.0,
+        weight_decay=1e-4,
+        lr_schedule="cosine",
+        num_steps=2,
+        checkpoint_every=1,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    ts, _ = train.fit(train_cfg, asset=tiny_asset, num_steps=2)
+
+    eval_cfg = tiny_train_cfg()  # plain Adam, no clip — different opt_state
+    params, state, consts = load_model(eval_cfg, str(tmp_path / "ck"), tiny_asset)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(params)[0]),
+        np.asarray(jax.tree.leaves(ts.params)[0]),
+    )
+    m = eval_mod.evaluate(params, state, consts, eval_cfg, num_batches=1)
+    assert np.isfinite(m["pve"])
