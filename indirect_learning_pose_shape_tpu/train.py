@@ -190,21 +190,63 @@ def make_batch(rng, step, batch_size, consts, cfg: configs.TrainConfig, constrai
         )
 
 
+# The jitted step entry points are MODULE-LEVEL functions with `consts` as a
+# traced argument and (cfg, mesh) static: jax.jit caches on the function
+# object, so every fit/compile_* call with equal configs and same-shaped
+# consts reuses one compiled executable. The previous per-call closures
+# (functools.partial over consts) made each call a fresh cache entry — every
+# test and every resume segment recompiled identical graphs (the dominant
+# cost of the test suite on this host; VERDICT r2 next #9).
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _gen_jit(rng, step, consts, cfg: configs.TrainConfig, mesh):
+    batch = make_batch(
+        rng, step, cfg.batch_size, consts, cfg, _render_constrain(mesh)
+    )
+    return _constrain_batch(batch, cfg, mesh)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=0)
+def _step_jit(ts: TrainState, batch, consts, cfg: configs.TrainConfig, mesh):
+    return train_step(ts, batch, consts, cfg, constrain=_render_constrain(mesh))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=0)
+def _data_step_jit(ts: TrainState, raw, consts, cfg: configs.TrainConfig, mesh):
+    return data_train_step(ts, raw, consts, cfg, constrain=_render_constrain(mesh))
+
+
+def _constrain_batch(batch, cfg: configs.TrainConfig, mesh):
+    if mesh is None:
+        return batch
+    data = mesh_lib.batch_sharding(mesh)
+    if _render_constrain(mesh) is None:
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, data), batch
+        )
+    # Image-space targets stay ROW-sharded to match the row-sharded
+    # prediction render — the seg losses then compute with zero
+    # communication; forcing them to P('data') would all-gather the
+    # targets only to re-shard them in the loss. Everything else (image
+    # for the conv stack, keypoints, gt diagnostics) is plain
+    # data-parallel.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    row = NamedSharding(mesh, P(mesh_lib.DATA_AXIS, "render"))
+    return {
+        k: jax.lax.with_sharding_constraint(
+            v, row if k in ("silhouette", "part_labels") else data
+        )
+        for k, v in batch.items()
+    }
+
+
 def compile_train_fns(cfg: configs.TrainConfig, consts, mesh=None):
     """Returns (gen_fn, step_fn), jitted; sharded over `mesh` when given."""
-    constrain = _render_constrain(mesh)
-    gen = functools.partial(
-        make_batch, batch_size=cfg.batch_size, consts=consts, cfg=cfg
-    )
-    step = functools.partial(train_step, consts=consts, cfg=cfg, constrain=constrain)
-    if mesh is None:
-        return jax.jit(gen), jax.jit(step, donate_argnums=0)
-    data = mesh_lib.batch_sharding(mesh)
-    repl = mesh_lib.replicated(mesh)
-    # `data` as a prefix pytree: every output leaf is batch-sharded.
-    gen_sharded = jax.jit(gen, in_shardings=(repl, repl), out_shardings=data)
-    step_sharded = jax.jit(step, donate_argnums=0)
-    return gen_sharded, step_sharded
+    gen = lambda rng, step: _gen_jit(rng, step, consts, cfg, mesh)  # noqa: E731
+    step = lambda ts, batch: _step_jit(ts, batch, consts, cfg, mesh)  # noqa: E731
+    return gen, step
 
 
 def _render_constrain(mesh):
@@ -219,6 +261,14 @@ def _render_constrain(mesh):
     return render_sp.constrainer(mesh)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=0)
+def _fused_jit(ts: TrainState, consts, cfg: configs.TrainConfig, mesh):
+    constrain = _render_constrain(mesh)
+    batch = make_batch(ts.rng, ts.step, cfg.batch_size, consts, cfg, constrain)
+    batch = _constrain_batch(batch, cfg, mesh)
+    return train_step(ts, batch, consts, cfg, constrain=constrain)
+
+
 def compile_fused_step(cfg: configs.TrainConfig, consts, mesh=None):
     """Single-dispatch train step: on-device batch generation + update in ONE
     jit graph (the BASELINE.json:5 'whole train step is one jit-compiled
@@ -226,42 +276,7 @@ def compile_fused_step(cfg: configs.TrainConfig, consts, mesh=None):
     generated batch keeps everything downstream data-parallel; a 2-D
     ('data','render') mesh additionally row-shards BOTH renders (target +
     prediction) over the render axis."""
-    data = mesh_lib.batch_sharding(mesh) if mesh is not None else None
-    constrain = _render_constrain(mesh)
-
-    def fused(ts: TrainState):
-        batch = make_batch(
-            ts.rng,
-            ts.step,
-            batch_size=cfg.batch_size,
-            consts=consts,
-            cfg=cfg,
-            constrain=constrain,
-        )
-        if data is not None:
-            if constrain is None:
-                batch = jax.tree.map(
-                    lambda x: jax.lax.with_sharding_constraint(x, data), batch
-                )
-            else:
-                # Image-space targets stay ROW-sharded to match the
-                # row-sharded prediction render — the seg losses then compute
-                # with zero communication; forcing them to P('data') here
-                # would all-gather the targets only to re-shard them in the
-                # loss. Everything else (image for the conv stack, keypoints,
-                # gt diagnostics) is plain data-parallel.
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                row = NamedSharding(data.mesh, P(mesh_lib.DATA_AXIS, "render"))
-                batch = {
-                    k: jax.lax.with_sharding_constraint(
-                        v, row if k in ("silhouette", "part_labels") else data
-                    )
-                    for k, v in batch.items()
-                }
-        return train_step(ts, batch, consts, cfg, constrain=constrain)
-
-    return jax.jit(fused, donate_argnums=0)
+    return lambda ts: _fused_jit(ts, consts, cfg, mesh)
 
 
 def preprocess_raw_batch(
@@ -436,12 +451,7 @@ def fit_preprocessed(
         ts = mesh_lib.replicate_pytree(ts, mesh)
         consts = mesh_lib.replicate_pytree(consts, mesh)
         sharding = mesh_lib.batch_sharding(mesh)
-    step_fn = jax.jit(
-        functools.partial(
-            train_step, consts=consts, cfg=cfg, constrain=_render_constrain(mesh)
-        ),
-        donate_argnums=0,
-    )
+    step_fn = lambda ts, b: _step_jit(ts, b, consts, cfg, mesh)  # noqa: E731
     start = int(ts.step)
     batches = prefetch_to_device(
         dataset.batches(start_step=start), size=2, sharding=sharding
@@ -488,12 +498,7 @@ def fit_dataset(
         ts = mesh_lib.replicate_pytree(ts, mesh)
         consts = mesh_lib.replicate_pytree(consts, mesh)
         sharding = mesh_lib.batch_sharding(mesh)
-    step_fn = jax.jit(
-        functools.partial(
-            data_train_step, consts=consts, cfg=cfg, constrain=_render_constrain(mesh)
-        ),
-        donate_argnums=0,
-    )
+    step_fn = lambda ts, r: _data_step_jit(ts, r, consts, cfg, mesh)  # noqa: E731
     start = int(ts.step)
     # Filter to the keys the step uses BEFORE prefetch so unused arrays
     # (e.g. gt_* diagnostics in synthetic npz files) never ride the H2D pipe.

@@ -9,9 +9,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in _flags:
+    # Serialize LLVM codegen: the host has one core (threads only contend),
+    # and the XLA:CPU backend has segfaulted in parallel codegen when the
+    # suite's largest multi-device program compiled late in the process
+    # (see _fresh_compiler_state below).
+    _flags = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 # Force CPU at the config level too: this machine's sitecustomize registers a
 # TPU plugin and overrides jax_platforms at interpreter start, so the env var
@@ -22,6 +27,27 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+# The XLA:CPU backend has segfaulted in native compilation
+# (jax/_src/compiler.py backend_compile_and_load, i.e. LLVM JIT) when the
+# big 8-device fused train step compiled on top of ~70 earlier tests' still
+# -resident executables (observed at test_sharding::test_fused_step_sharded;
+# order-dependent, passes in isolation). The module-level jit entry points in
+# train.py deliberately retain executables across tests — that is the
+# suite's main speedup — so instead of disabling the cache, drop it right
+# before the two modules that compile large multi-device programs. The small
+# shared-config caches they evict rebuild in seconds.
+_HEAVY_COMPILE_MODULES = ("test_render_sp", "test_sharding")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compiler_state(request):
+    # No tests/__init__.py → pytest imports modules top-level ("test_x"),
+    # but match the package-qualified form too.
+    if request.module.__name__.rpartition(".")[2] in _HEAVY_COMPILE_MODULES:
+        jax.clear_caches()
+    yield
 
 from indirect_learning_pose_shape_tpu.utils import assets  # noqa: E402
 
