@@ -45,16 +45,20 @@ def _throughput(
     consts = jax.device_put(consts, device)
     fused = train.compile_fused_step(cfg, consts)
 
+    # Sync by VALUE FETCH, not block_until_ready: through the remote-chip
+    # tunnel, block_until_ready has been observed to return without
+    # fencing (readings at the ~1 ms dispatch floor, 11× too fast);
+    # fetching a scalar always round-trips the real result.
     for _ in range(warmup):
         ts, terms = fused(ts)
-    jax.block_until_ready(ts.params)
+    assert bool(jnp.isfinite(float(terms["total"]))), "non-finite warmup loss"
 
     t0 = time.perf_counter()
     for _ in range(steps):
         ts, terms = fused(ts)
-    jax.block_until_ready(ts.params)
+    total = float(terms["total"])  # fetch inside the timed region = the fence
     dt = time.perf_counter() - t0
-    assert bool(jnp.isfinite(terms["total"])), "non-finite loss in benchmark"
+    assert bool(jnp.isfinite(total)), "non-finite loss in benchmark"
     return batch_size * steps / dt
 
 

@@ -27,14 +27,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _fence(out):
+    """Sync by fetching one scalar element: through the remote-chip tunnel,
+    block_until_ready has been observed to return WITHOUT fencing (timings
+    at the ~1 ms dispatch floor); a value fetch always round-trips."""
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.asarray(leaf).reshape(-1)[0])
+
+
 def _timeit(fn, *args, steps=20, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     return (time.perf_counter() - t0) / steps
 
 
@@ -125,15 +133,15 @@ def config4_full_train(asset, steps):
     def one_step(ts):
         batch = gen_fn(ts.rng, ts.step)
         ts, terms = step_fn(ts, batch)
-        return ts
+        return ts, terms
 
     for _ in range(2):
-        ts = one_step(ts)
-    jax.block_until_ready(ts.params)
+        ts, terms = one_step(ts)
+    _fence(terms["total"])
     t0 = time.perf_counter()
     for _ in range(steps):
-        ts = one_step(ts)
-    jax.block_until_ready(ts.params)
+        ts, terms = one_step(ts)
+    _fence(terms["total"])
     dt = (time.perf_counter() - t0) / steps
     _emit(
         "config4_full_train_b32",
@@ -183,13 +191,13 @@ def config5_data_parallel(asset, steps):
         gen_fn, step_fn = train.compile_train_fns(cfg5, consts5)
     for _ in range(2):
         batch = gen_fn(ts.rng, ts.step)
-        ts, _ = step_fn(ts, batch)
-    jax.block_until_ready(ts.params)
+        ts, terms = step_fn(ts, batch)
+    _fence(terms["total"])
     t0 = time.perf_counter()
     for _ in range(steps):
         batch = gen_fn(ts.rng, ts.step)
-        ts, _ = step_fn(ts, batch)
-    jax.block_until_ready(ts.params)
+        ts, terms = step_fn(ts, batch)
+    _fence(terms["total"])
     dt = (time.perf_counter() - t0) / steps
     _emit(
         "config5_data_parallel",

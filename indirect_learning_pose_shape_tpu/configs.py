@@ -51,6 +51,16 @@ class TrainConfig:
     # Zero forward communication (separable formulation); worthwhile at
     # ≥512² render sizes. 1 = off (plain 1-D data mesh).
     render_devices: int = 1
+    # Synthetic-stream training only: run this many optimizer steps inside
+    # ONE jit dispatch (lax.scan over the fused gen+step body — it is fully
+    # on-device, so no host data is needed between steps). Identical math
+    # to K single calls (step-indexed RNG; tested). Logging/checkpointing
+    # move to chunk boundaries. Measured perf-NEUTRAL on the tunneled
+    # single chip (async dispatch already pipelines chained steps:
+    # 12.56 ms/step at k=1 vs 12.61 at k=8, b32) — the knob pays off when
+    # the host cannot sustain one dispatch per step (slow/contended host,
+    # high-latency control plane), not here. Default 1.
+    steps_per_call: int = 1
     # Checkpointing (SURVEY.md §5): every N steps; 0 disables.
     checkpoint_every: int = 0
     checkpoint_dir: str = "/tmp/ilps_ckpt"

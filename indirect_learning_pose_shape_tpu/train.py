@@ -264,9 +264,20 @@ def _render_constrain(mesh):
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=0)
 def _fused_jit(ts: TrainState, consts, cfg: configs.TrainConfig, mesh):
     constrain = _render_constrain(mesh)
-    batch = make_batch(ts.rng, ts.step, cfg.batch_size, consts, cfg, constrain)
-    batch = _constrain_batch(batch, cfg, mesh)
-    return train_step(ts, batch, consts, cfg, constrain=constrain)
+
+    def one(ts, _):
+        batch = make_batch(ts.rng, ts.step, cfg.batch_size, consts, cfg, constrain)
+        batch = _constrain_batch(batch, cfg, mesh)
+        return train_step(ts, batch, consts, cfg, constrain=constrain)
+
+    if cfg.steps_per_call <= 1:
+        return one(ts, None)
+    # K steps per dispatch: the body is the identical single-step graph
+    # (batches are step-indexed off ts.step, so chunking doesn't change the
+    # data stream); host dispatch cost amortizes K×. Report the LAST step's
+    # terms — same as what a caller stepping one-by-one would last see.
+    ts, terms = jax.lax.scan(one, ts, None, length=cfg.steps_per_call)
+    return ts, jax.tree.map(lambda x: x[-1], terms)
 
 
 def compile_fused_step(cfg: configs.TrainConfig, consts, mesh=None):
@@ -555,11 +566,28 @@ def fit(
     # `num_steps` is the TOTAL step budget: a resumed run (start > 0) trains
     # only the remaining steps, so crash + rerun lands on the same endpoint.
     start = int(ts.step)
-    for i in range(start, max(num_steps, start)):
-        ts, terms = fused_fn(ts)
-        if i % 10 == 0 or i == num_steps - 1:
-            writer.write(i, terms)
-        if ckpt and (i + 1) % cfg.checkpoint_every == 0:
+    k = max(1, cfg.steps_per_call)
+    single_fn = None  # lazily compiled for a sub-chunk remainder
+    i = start
+    while i < max(num_steps, start):
+        this_k = min(k, num_steps - i)
+        if this_k == k:
+            ts, terms = fused_fn(ts)
+        else:
+            if single_fn is None:
+                single_fn = compile_fused_step(
+                    dataclasses.replace(cfg, steps_per_call=1), consts, mesh
+                )
+            for _ in range(this_k):
+                ts, terms = single_fn(ts)
+        prev, i = i, i + this_k
+        # Chunked runs log once per dispatch (terms are the chunk's last
+        # step); single-step runs keep the historical every-10 cadence.
+        if k > 1 or prev % 10 == 0 or i >= num_steps:
+            writer.write(i - 1, terms)
+        if ckpt and cfg.checkpoint_every and (
+            i // cfg.checkpoint_every > prev // cfg.checkpoint_every
+        ):
             # Global step number: resume-safe and never collides.
             ckpt.save(int(ts.step), dataclasses.asdict(ts))
     jax.block_until_ready(ts.params)
@@ -599,6 +627,13 @@ def main():
     ap.add_argument(
         "--debug-nans", action="store_true", help="enable jax_debug_nans"
     )
+    ap.add_argument(
+        "--steps-per-call",
+        type=int,
+        default=None,
+        help="optimizer steps per jit dispatch on the synthetic stream "
+        "(lax.scan-chunked fused step; amortizes host dispatch latency)",
+    )
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument(
@@ -632,6 +667,10 @@ def main():
         updates["batch_size"] = args.batch_size
     if args.lr:
         updates["learning_rate"] = args.lr
+    if args.steps_per_call:
+        if args.dataset or args.image_dir:
+            ap.error("--steps-per-call applies to synthetic-stream training only")
+        updates["steps_per_call"] = args.steps_per_call
     if args.checkpoint_every is not None:
         updates["checkpoint_every"] = args.checkpoint_every
     if args.checkpoint_dir:

@@ -116,6 +116,52 @@ def test_train_deterministic(tiny_asset):
     assert run() == run()
 
 
+def test_steps_per_call_chunking_matches_single(tiny_asset):
+    """K scan-chunked steps == K single fused dispatches (same step-indexed
+    data stream, same params), so chunking is a pure dispatch optimization."""
+    cfg1 = tiny_train_cfg()
+    ts1, consts = train.init_state(cfg1, tiny_asset)
+    fused1 = train.compile_fused_step(cfg1, consts)
+    for _ in range(4):
+        ts1, terms1 = fused1(ts1)
+
+    cfgk = tiny_train_cfg(steps_per_call=4)
+    tsk, _ = train.init_state(cfgk, tiny_asset)
+    fusedk = train.compile_fused_step(cfgk, consts)
+    tsk, termsk = fusedk(tsk)
+
+    assert int(tsk.step) == int(ts1.step) == 4
+    # The scan and inlined graphs fuse differently, so float reordering
+    # (~5e-7 at step 1, measured) compounds through the optimizer to ~1e-3
+    # relative loss by step 4. A real chunking bug (same batch each iter,
+    # dropped BN/opt state, wrong step indexing) shifts the step-4 loss at
+    # O(0.1) — the batch at step 4 would be a different sample entirely.
+    # Params are NOT compared element-wise: Adam moves every param ±lr per
+    # step regardless of gradient magnitude, so reorder-level grad noise
+    # flips update signs on near-zero-gradient params; only the aggregate
+    # drift (≾ lr per step) is bounded.
+    np.testing.assert_allclose(
+        float(termsk["total"]), float(terms1["total"]), rtol=1e-2
+    )
+    lr = cfg1.learning_rate
+    for a, b in zip(jax.tree.leaves(ts1.params), jax.tree.leaves(tsk.params)):
+        assert float(jnp.max(jnp.abs(a - b))) < 12 * lr
+
+
+@pytest.mark.slow
+def test_fit_chunked_entrypoint(tiny_asset, tmp_path):
+    """fit() with steps_per_call: non-divisible budget (remainder singles),
+    chunk-boundary logging, finite loss."""
+    cfg = tiny_train_cfg(
+        steps_per_call=3, metrics_path=str(tmp_path / "mc.jsonl")
+    )
+    ts, terms = train.fit(cfg, asset=tiny_asset, num_steps=7)
+    assert int(ts.step) == 7
+    assert np.isfinite(terms["total"])
+    lines = (tmp_path / "mc.jsonl").read_text().strip().splitlines()
+    assert len(lines) >= 2  # one write per chunk + final
+
+
 @pytest.mark.slow
 def test_fit_entrypoint_smoke(tiny_asset, tmp_path):
     cfg = tiny_train_cfg(metrics_path=str(tmp_path / "m.jsonl"))
