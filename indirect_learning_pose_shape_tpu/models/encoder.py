@@ -32,6 +32,16 @@ class EncoderConfig:
     compute_dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
+    # Max-pool backward: 'xla' = plain autodiff of reduce_window
+    # (select_and_scatter), 'mask' = nine shifted equality-mask passes
+    # (_max_pool_mask; even spatial sizes only, odd falls back to 'xla').
+    # MEASURED: the mask form is SLOWER on the profiled chip — 12.97 →
+    # 14.47 ms/step (b32, 256² config-4) and 36.7 → 40.1 (b128) — the
+    # nine dense passes + parity reassembly cost more HBM traffic than
+    # the 0.54 ms select_and_scatter they replace. Default stays 'xla';
+    # the mask path remains as the measured-and-rejected alternative
+    # (gradient-equivalent on tie-free input, tested).
+    maxpool_grad: str = "xla"
     # Eval-path conv+BN folding: at inference BN is a per-channel affine of
     # frozen running stats, so it folds into the preceding conv's weights
     # (w *= scale/sqrt(var+eps), plus a bias term) — one fewer full
@@ -118,6 +128,83 @@ def _stem_conv_s2d(x, w):
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def _max_pool_ref(x):
+    """3x3/2 max-pool, symmetric pad 1 (torch alignment; see encoder_apply)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        (1, 3, 3, 1),
+        (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+@jax.custom_vjp
+def _max_pool_mask(x):
+    """_max_pool_ref with a mask-form backward.
+
+    Autodiff of reduce_window lowers the backward to `select_and_scatter`
+    — 0.54 ms/step at B=32/256², the encoder's single most expensive
+    non-conv op on the profiled chip. The gradient is instead computed as
+    nine shifted equality-mask passes (one per 3x3 window offset), grouped
+    by output parity so every slice is static — all dense elementwise ops
+    that XLA fuses; no scatter. Semantics difference: where a window's max
+    is TIED, select_and_scatter routes the cotangent to the first max in
+    scan order while the mask form sends it to every tied position (the
+    symmetric subgradient). Post-ReLU all-zero windows — the common tie —
+    are unaffected downstream because ReLU's own backward zeroes those
+    positions. Identical on tie-free inputs (tested).
+    """
+    return _max_pool_ref(x)
+
+
+def _max_pool_mask_fwd(x):
+    y = _max_pool_ref(x)
+    return y, (x, y)
+
+
+def _max_pool_mask_bwd(res, g):
+    x, y = res
+    B, H, W, C = x.shape
+    Ho, Wo = y.shape[1], y.shape[2]
+    # +inf padding makes out-of-range window slots fail the equality test;
+    # 0 padding drops their cotangent.
+    yp = jnp.pad(
+        y, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=jnp.inf
+    )
+    gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def contrib(x_sub, rows, cols):
+        # Input position (2i+pr, 2j+pc) lies in window (i', j') iff
+        # 2i'-1 <= 2i+pr <= 2i'+1: one window per axis at even parity
+        # (padded offset 1), two at odd (offsets 1 and 2).
+        acc = jnp.zeros_like(x_sub)
+        for u in rows:
+            for v in cols:
+                ys = jax.lax.slice(yp, (0, u, v, 0), (B, u + Ho, v + Wo, C))
+                gs = jax.lax.slice(gp, (0, u, v, 0), (B, u + Ho, v + Wo, C))
+                acc = acc + jnp.where(x_sub == ys, gs, jnp.zeros_like(gs))
+        return acc
+
+    sub = {
+        (pr, pc): contrib(
+            x[:, pr::2, pc::2, :],
+            (1,) if pr == 0 else (1, 2),
+            (1,) if pc == 0 else (1, 2),
+        )
+        for pr in (0, 1)
+        for pc in (0, 1)
+    }
+    top = jnp.stack([sub[(0, 0)], sub[(0, 1)]], axis=3).reshape(B, Ho, W, C)
+    bot = jnp.stack([sub[(1, 0)], sub[(1, 1)]], axis=3).reshape(B, Ho, W, C)
+    dx = jnp.stack([top, bot], axis=2).reshape(B, H, W, C)
+    return (dx.astype(x.dtype),)
+
+
+_max_pool_mask.defvjp(_max_pool_mask_fwd, _max_pool_mask_bwd)
 
 
 def _batch_norm(x, p, s, train: bool, momentum: float, eps: float):
@@ -265,14 +352,14 @@ def encoder_apply(
     x = jax.nn.relu(x)
     # Max-pool k=3 s=2 with symmetric pad 1 (torch alignment; SAME would pad
     # lo=0/hi=1 on even inputs — same shape, one-pixel shift).
-    x = jax.lax.reduce_window(
-        x,
-        -jnp.inf,
-        jax.lax.max,
-        (1, 3, 3, 1),
-        (1, 2, 2, 1),
-        ((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
+    if (
+        cfg.maxpool_grad == "mask"
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+    ):
+        x = _max_pool_mask(x)
+    else:
+        x = _max_pool_ref(x)
     for stage, n in enumerate(blocks):
         for b in range(n):
             stride = 2 if (b == 0 and stage > 0) else 1

@@ -90,6 +90,20 @@ def test_network_gradient_flows_to_encoder(tiny_asset, rng):
     assert np.all(np.isfinite(stem_g)) and np.abs(stem_g).max() > 0
 
 
+def test_maxpool_mask_grad_matches_xla(rng):
+    """Mask-form max-pool backward == select_and_scatter autodiff on
+    tie-free input (continuous f32 random: exact within-window equality has
+    measure zero). Tie semantics differ by design — see _max_pool_mask."""
+    x = jnp.asarray(rng.randn(2, 16, 20, 8).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 8, 10, 8).astype(np.float32))
+    y_mask, vjp_mask = jax.vjp(enc._max_pool_mask, x)
+    y_ref, vjp_ref = jax.vjp(enc._max_pool_ref, x)
+    np.testing.assert_array_equal(np.asarray(y_mask), np.asarray(y_ref))
+    np.testing.assert_allclose(
+        np.asarray(vjp_mask(g)[0]), np.asarray(vjp_ref(g)[0]), atol=1e-6
+    )
+
+
 def test_rot6d_to_rotmat_properties(rng):
     from indirect_learning_pose_shape_tpu.models import smpl
 
