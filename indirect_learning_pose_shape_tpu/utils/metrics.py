@@ -141,6 +141,14 @@ class MetricsWriter:
         self._last_time = time.perf_counter()
 
     def write(self, step: int, scalars: dict) -> None:
+        # ONE batched D2H transfer for the whole dict: device_get starts
+        # async copies for every leaf before blocking, so the fetch costs
+        # ~1 host↔device round trip total. The previous per-key float(v)
+        # paid a FULL round trip PER SCALAR — measured 397 ms vs 38 ms
+        # for a 12-scalar dict through the remote-chip tunnel, i.e.
+        # ~+36 ms/step amortized at the 10-step logging cadence, on par
+        # with the 36 ms b128 train step itself.
+        scalars = jax.device_get(scalars)
         now = time.perf_counter()
         record = {"step": step, "wall_dt": now - self._last_time}
         self._last_time = now
