@@ -582,8 +582,8 @@ def fit(
                 ts, terms = single_fn(ts)
         prev, i = i, i + this_k
         # Chunked runs log once per dispatch (terms are the chunk's last
-        # step); single-step runs keep the historical every-10 cadence.
-        if k > 1 or prev % 10 == 0 or i >= num_steps:
+        # step); single-step runs log every cfg.log_every steps.
+        if k > 1 or prev % max(1, cfg.log_every) == 0 or i >= num_steps:
             writer.write(i - 1, terms)
         if ckpt and cfg.checkpoint_every and (
             i // cfg.checkpoint_every > prev // cfg.checkpoint_every
