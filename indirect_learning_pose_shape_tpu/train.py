@@ -637,6 +637,13 @@ def main():
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument(
+        "--log-every",
+        type=int,
+        default=None,
+        help="metrics-write cadence in steps (each write costs one "
+        "batched device fetch; see TrainConfig.log_every)",
+    )
+    ap.add_argument(
         "--augment",
         action="store_true",
         help="random mirror + crop jitter on disk-data training "
@@ -675,6 +682,8 @@ def main():
         updates["checkpoint_every"] = args.checkpoint_every
     if args.checkpoint_dir:
         updates["checkpoint_dir"] = args.checkpoint_dir
+    if args.log_every:
+        updates["log_every"] = args.log_every
     if args.augment:
         # replace(), not a fresh AugmentConfig: presets may carry a non-default
         # part convention (e.g. config4_parts31) that must survive the flag.
