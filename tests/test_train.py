@@ -163,6 +163,19 @@ def test_fit_chunked_entrypoint(tiny_asset, tmp_path):
 
 
 @pytest.mark.slow
+def test_fit_log_every_cadence(tiny_asset, tmp_path):
+    """log_every thins the metrics stream: 8 steps at cadence 4 write the
+    crossed multiples plus the final step, nothing per-step."""
+    cfg = tiny_train_cfg(log_every=4, metrics_path=str(tmp_path / "le.jsonl"))
+    train.fit(cfg, asset=tiny_asset, num_steps=8)
+    lines = (tmp_path / "le.jsonl").read_text().strip().splitlines()
+    import json
+
+    steps = [json.loads(ln)["step"] for ln in lines]
+    assert steps == [0, 4, 7], steps  # crossed multiples of 4 + final
+
+
+@pytest.mark.slow
 def test_fit_entrypoint_smoke(tiny_asset, tmp_path):
     cfg = tiny_train_cfg(metrics_path=str(tmp_path / "m.jsonl"))
     _, terms = train.fit(cfg, asset=tiny_asset, num_steps=3)
