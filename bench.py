@@ -24,11 +24,17 @@ import jax.numpy as jnp
 
 
 def _throughput(
-    device, batch_size: int, steps: int, warmup: int = 2, force_xla: bool = False
+    device,
+    batch_size: int,
+    steps: int,
+    warmup: int = 2,
+    force_xla: bool = False,
+    two_point: bool = True,
 ) -> float:
     """Train-step throughput (images/sec) for config-4 on `device`."""
     from indirect_learning_pose_shape_tpu import configs, train
     from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
+    from indirect_learning_pose_shape_tpu.utils.metrics import fetch_fence
 
     cfg = dataclasses.replace(configs.CONFIG4_FULL, batch_size=batch_size)
     if force_xla:
@@ -45,19 +51,42 @@ def _throughput(
     consts = jax.device_put(consts, device)
     fused = train.compile_fused_step(cfg, consts)
 
-    # Sync by VALUE FETCH, not block_until_ready: through the remote-chip
-    # tunnel, block_until_ready has been observed to return without
-    # fencing (readings at the ~1 ms dispatch floor, 11× too fast);
-    # fetching a scalar always round-trips the real result.
+    # Sync by VALUE FETCH (utils.metrics.fetch_fence), not
+    # block_until_ready, which through the remote-chip tunnel has been
+    # observed to return without fencing.
     for _ in range(warmup):
         ts, terms = fused(ts)
-    assert bool(jnp.isfinite(float(terms["total"]))), "non-finite warmup loss"
+    assert bool(jnp.isfinite(fetch_fence(terms["total"]))), "non-finite warmup"
 
+    if not two_point:
+        # Single-window timing: fine when the fence round trip is
+        # negligible vs the window (the 25 s/step CPU baseline).
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            ts, terms = fused(ts)
+        total = fetch_fence(terms["total"])
+        dt = time.perf_counter() - t0
+        assert bool(jnp.isfinite(total)), "non-finite loss in benchmark"
+        return batch_size * steps / dt
+
+    # Two-point timing: the fence's host↔device round trip (~38 ms via
+    # the tunnel — ~8% of a 12-step b128 window) sits inside any single
+    # timed window. Timing an N-step and a 2N-step window and taking the
+    # difference cancels it exactly, leaving N steps of pure device time.
     t0 = time.perf_counter()
     for _ in range(steps):
         ts, terms = fused(ts)
-    total = float(terms["total"])  # fetch inside the timed region = the fence
-    dt = time.perf_counter() - t0
+    fetch_fence(terms["total"])
+    t1 = time.perf_counter()
+    for _ in range(2 * steps):
+        ts, terms = fused(ts)
+    total = fetch_fence(terms["total"])
+    t2 = time.perf_counter()
+    dt = (t2 - t1) - (t1 - t0)
+    if not dt > 0:
+        # Pipeline anomaly (e.g. the first window absorbed queued work):
+        # fall back to the 2N window, which merely re-includes one RTT.
+        dt, steps = t2 - t1, 2 * steps
     assert bool(jnp.isfinite(total)), "non-finite loss in benchmark"
     return batch_size * steps / dt
 
@@ -87,7 +116,8 @@ def main():
     try:
         cpu = jax.devices("cpu")[0]
         cpu_imgs_per_sec = _throughput(
-            cpu, batch_size=cpu_batch, steps=2, warmup=1, force_xla=True
+            cpu, batch_size=cpu_batch, steps=2, warmup=1, force_xla=True,
+            two_point=False,  # ~25 s/step: the fence RTT is negligible
         )
         vs_baseline = accel_imgs_per_sec / cpu_imgs_per_sec
     except Exception as e:  # CPU backend unavailable: report accel number only

@@ -28,11 +28,11 @@ import jax.numpy as jnp
 
 
 def _fence(out):
-    """Sync by fetching one scalar element: through the remote-chip tunnel,
-    block_until_ready has been observed to return WITHOUT fencing (timings
-    at the ~1 ms dispatch floor); a value fetch always round-trips."""
-    leaf = jax.tree.leaves(out)[0]
-    float(jnp.asarray(leaf).reshape(-1)[0])
+    """Sync by fetching one scalar element (see utils.metrics.fetch_fence:
+    block_until_ready can return WITHOUT fencing through the tunnel)."""
+    from indirect_learning_pose_shape_tpu.utils.metrics import fetch_fence
+
+    fetch_fence(out)
 
 
 def _timeit(fn, *args, steps=20, warmup=2):

@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import functools
+import sys
 import time
 from typing import Any, Optional
 
@@ -197,6 +198,34 @@ def make_batch(rng, step, batch_size, consts, cfg: configs.TrainConfig, constrai
 # (functools.partial over consts) made each call a fresh cache entry — every
 # test and every resume segment recompiled identical graphs (the dominant
 # cost of the test suite on this host; VERDICT r2 next #9).
+#
+# `_graph_cfg` strips the fields that do NOT enter the traced graph
+# (metrics/checkpoint paths and cadences, init-only asset paths) to fixed
+# sentinels before the cfg is used as the static key — otherwise two runs
+# differing only in, say, metrics_path would recompile an identical HLO.
+# num_steps STAYS: the cosine LR schedule folds it into the update graph.
+
+
+_GRAPH_IRRELEVANT = dict(
+    checkpoint_every=0,
+    checkpoint_dir="",
+    log_every=0,
+    metrics_path=None,
+    tensorboard_dir=None,
+    pretrained=None,
+    mean_params=None,
+    seed=0,  # enters init_state only, never the step graph
+)
+
+
+def _graph_cfg(cfg: configs.TrainConfig) -> configs.TrainConfig:
+    cfg = dataclasses.replace(cfg, **_GRAPH_IRRELEVANT)
+    if cfg.lr_schedule != "cosine":
+        # num_steps/warmup_steps shape the update graph only through the
+        # cosine schedule (make_optimizer); under a constant LR two runs
+        # differing only in step budget share one executable.
+        cfg = dataclasses.replace(cfg, num_steps=0, warmup_steps=0)
+    return cfg
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
@@ -244,8 +273,9 @@ def _constrain_batch(batch, cfg: configs.TrainConfig, mesh):
 
 def compile_train_fns(cfg: configs.TrainConfig, consts, mesh=None):
     """Returns (gen_fn, step_fn), jitted; sharded over `mesh` when given."""
-    gen = lambda rng, step: _gen_jit(rng, step, consts, cfg, mesh)  # noqa: E731
-    step = lambda ts, batch: _step_jit(ts, batch, consts, cfg, mesh)  # noqa: E731
+    gcfg = _graph_cfg(cfg)
+    gen = lambda rng, step: _gen_jit(rng, step, consts, gcfg, mesh)  # noqa: E731
+    step = lambda ts, batch: _step_jit(ts, batch, consts, gcfg, mesh)  # noqa: E731
     return gen, step
 
 
@@ -287,7 +317,8 @@ def compile_fused_step(cfg: configs.TrainConfig, consts, mesh=None):
     generated batch keeps everything downstream data-parallel; a 2-D
     ('data','render') mesh additionally row-shards BOTH renders (target +
     prediction) over the render axis."""
-    return lambda ts: _fused_jit(ts, consts, cfg, mesh)
+    gcfg = _graph_cfg(cfg)
+    return lambda ts: _fused_jit(ts, consts, gcfg, mesh)
 
 
 def preprocess_raw_batch(
@@ -462,7 +493,9 @@ def fit_preprocessed(
         ts = mesh_lib.replicate_pytree(ts, mesh)
         consts = mesh_lib.replicate_pytree(consts, mesh)
         sharding = mesh_lib.batch_sharding(mesh)
-    step_fn = lambda ts, b: _step_jit(ts, b, consts, cfg, mesh)  # noqa: E731
+    step_fn = lambda ts, b: _step_jit(  # noqa: E731
+        ts, b, consts, _graph_cfg(cfg), mesh
+    )
     start = int(ts.step)
     batches = prefetch_to_device(
         dataset.batches(start_step=start), size=2, sharding=sharding
@@ -509,7 +542,9 @@ def fit_dataset(
         ts = mesh_lib.replicate_pytree(ts, mesh)
         consts = mesh_lib.replicate_pytree(consts, mesh)
         sharding = mesh_lib.batch_sharding(mesh)
-    step_fn = lambda ts, r: _data_step_jit(ts, r, consts, cfg, mesh)  # noqa: E731
+    step_fn = lambda ts, r: _data_step_jit(  # noqa: E731
+        ts, r, consts, _graph_cfg(cfg), mesh
+    )
     start = int(ts.step)
     # Filter to the keys the step uses BEFORE prefetch so unused arrays
     # (e.g. gt_* diagnostics in synthetic npz files) never ride the H2D pipe.
@@ -567,6 +602,16 @@ def fit(
     # only the remaining steps, so crash + rerun lands on the same endpoint.
     start = int(ts.step)
     k = max(1, cfg.steps_per_call)
+    le = max(1, cfg.log_every)
+    if ckpt and cfg.checkpoint_every and k > cfg.checkpoint_every:
+        # The crossing test below can save at most once per chunk, so the
+        # effective checkpoint interval silently becomes k — say so.
+        print(
+            f"warning: steps_per_call={k} > checkpoint_every="
+            f"{cfg.checkpoint_every}; checkpoints land once per chunk "
+            f"(effective interval {k} steps)",
+            file=sys.stderr,
+        )
     single_fn = None  # lazily compiled for a sub-chunk remainder
     i = start
     while i < max(num_steps, start):
@@ -581,9 +626,13 @@ def fit(
             for _ in range(this_k):
                 ts, terms = single_fn(ts)
         prev, i = i, i + this_k
-        # Chunked runs log once per dispatch (terms are the chunk's last
-        # step); single-step runs log every cfg.log_every steps.
-        if k > 1 or prev % max(1, cfg.log_every) == 0 or i >= num_steps:
+        # Log whenever a log_every boundary was crossed this iteration (or
+        # at the end). Each write costs one blocking device fetch, so a
+        # chunked run must honor log_every too — logging every chunk would
+        # reintroduce the per-dispatch D2H tax log_every amortizes. `terms`
+        # holds the LAST step of the iteration; the index written is that
+        # step's.
+        if i // le > prev // le or i >= num_steps:
             writer.write(i - 1, terms)
         if ckpt and cfg.checkpoint_every and (
             i // cfg.checkpoint_every > prev // cfg.checkpoint_every
@@ -674,7 +723,9 @@ def main():
         updates["batch_size"] = args.batch_size
     if args.lr:
         updates["learning_rate"] = args.lr
-    if args.steps_per_call:
+    if args.steps_per_call is not None:
+        if args.steps_per_call < 1:
+            ap.error("--steps-per-call must be >= 1")
         if args.dataset or args.image_dir:
             ap.error("--steps-per-call applies to synthetic-stream training only")
         updates["steps_per_call"] = args.steps_per_call
@@ -682,7 +733,9 @@ def main():
         updates["checkpoint_every"] = args.checkpoint_every
     if args.checkpoint_dir:
         updates["checkpoint_dir"] = args.checkpoint_dir
-    if args.log_every:
+    if args.log_every is not None:
+        if args.log_every < 1:
+            ap.error("--log-every must be >= 1")
         updates["log_every"] = args.log_every
     if args.augment:
         # replace(), not a fresh AugmentConfig: presets may carry a non-default

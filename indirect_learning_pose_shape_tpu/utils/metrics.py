@@ -18,6 +18,20 @@ import time
 from typing import IO, Optional
 
 import jax
+import jax.numpy as jnp
+
+
+def fetch_fence(x) -> float:
+    """Synchronize with the device by FETCHING one scalar element of `x`.
+
+    Through a remote-chip tunnel, `jax.block_until_ready` has been
+    observed to return WITHOUT fencing (benchmark readings at the ~1 ms
+    dispatch floor, 11× too fast); a value fetch always round-trips the
+    real result. Shared by bench.py and benchmarks/run_configs.py so the
+    workaround lives in one place. Returns the fetched element.
+    """
+    leaf = jax.tree.leaves(x)[0]
+    return float(jnp.asarray(leaf).reshape(-1)[0])
 
 # --- TensorBoard event-file encoding ----------------------------------------
 # A TB scalar log is a TFRecord stream of serialized `Event` protos. Both

@@ -153,13 +153,13 @@ def test_fit_chunked_entrypoint(tiny_asset, tmp_path):
     """fit() with steps_per_call: non-divisible budget (remainder singles),
     chunk-boundary logging, finite loss."""
     cfg = tiny_train_cfg(
-        steps_per_call=3, metrics_path=str(tmp_path / "mc.jsonl")
+        steps_per_call=3, log_every=3, metrics_path=str(tmp_path / "mc.jsonl")
     )
     ts, terms = train.fit(cfg, asset=tiny_asset, num_steps=7)
     assert int(ts.step) == 7
     assert np.isfinite(terms["total"])
     lines = (tmp_path / "mc.jsonl").read_text().strip().splitlines()
-    assert len(lines) >= 2  # one write per chunk + final
+    assert len(lines) == 3  # log_every crossings at 3, 6 + final
 
 
 @pytest.mark.slow
@@ -172,7 +172,7 @@ def test_fit_log_every_cadence(tiny_asset, tmp_path):
     import json
 
     steps = [json.loads(ln)["step"] for ln in lines]
-    assert steps == [0, 4, 7], steps  # crossed multiples of 4 + final
+    assert steps == [3, 7], steps  # last step before each crossing + final
 
 
 @pytest.mark.slow
