@@ -1,0 +1,116 @@
+"""Serving benchmark: bf16 vs int8-PTQ inference latency and throughput.
+
+The inference path (encoder → IEF → SMPL → projection; no rasterizer) is the
+deployment workload — SURVEY.md §2.11's predict/demo role productionized.
+Measures, per batch size:
+  - bf16: the standard eval forward (fold_bn_eval taken from the preset)
+  - int8: models/quantize.py quantized_forward with true int8 convs. The
+    rate win is TPU-specific (double-rate int8 MXU); on CPU the numbers
+    only sanity-check the path, and the JSON records the backend.
+
+Timing uses the same two-point windows as bench.py: the fetch fence's
+host↔device round trip (~40 ms over the remote-chip tunnel) is cancelled by
+differencing an N- and a 2N-step window.
+
+    python benchmarks/serving.py [--batches 1 32 128] [--steps 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def _time_fn(fn, args, steps: int, warmup: int, fence) -> float:
+    """Seconds per call via two-point windows (see bench.py)."""
+    for _ in range(warmup):
+        out = fn(*args)
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    fence(out)
+    t1 = time.perf_counter()
+    for _ in range(2 * steps):
+        out = fn(*args)
+    fence(out)
+    t2 = time.perf_counter()
+    dt = (t2 - t1) - (t1 - t0)
+    if not dt > 0:
+        dt, steps = t2 - t1, 2 * steps
+    return dt / steps
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 32, 128])
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--preset", default="config4_full")
+    args = ap.parse_args()
+
+    from indirect_learning_pose_shape_tpu import configs
+    from indirect_learning_pose_shape_tpu.data import synthetic
+    from indirect_learning_pose_shape_tpu.models import network as net
+    from indirect_learning_pose_shape_tpu.models import quantize as q
+    from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
+    from indirect_learning_pose_shape_tpu.utils.metrics import fetch_fence
+
+    cfg = configs.PRESETS[args.preset]
+    backend = jax.default_backend()
+    impl = "int8"
+
+    params, state, consts = net.init(
+        jax.random.PRNGKey(0), assets_lib.load_asset(), cfg.model
+    )
+    calib = synthetic.generate_batch(
+        jax.random.PRNGKey(17), 16, consts, cfg.model, cfg.synthetic
+    )["image"]
+    qparams = q.ptq_quantize(
+        params["encoder"], state["encoder"], cfg.model.encoder, calib
+    )
+
+    bf16_fwd = jax.jit(
+        lambda p, s, im: net.forward(p, s, consts, im, cfg.model, train=False)[0][
+            "theta"
+        ]
+    )
+    int8_fwd = jax.jit(
+        lambda qp, ip, im: q.quantized_forward(
+            qp, ip, consts, im, cfg.model, impl=impl
+        )["theta"]
+    )
+    fence = lambda out: fetch_fence(out[0, 0])  # noqa: E731
+
+    results = []
+    size = cfg.model.image_size
+    for b in args.batches:
+        images = jax.random.uniform(
+            jax.random.PRNGKey(b), (b, size, size, 3), jnp.float32, -1, 1
+        )
+        sec_bf16 = _time_fn(bf16_fwd, (params, state, images), args.steps, 3, fence)
+        sec_int8 = _time_fn(int8_fwd, (qparams, params["ief"], images), args.steps, 3, fence)
+        row = {
+            "batch": b,
+            "backend": backend,
+            "int8_impl": impl,
+            "bf16_ms": round(sec_bf16 * 1e3, 3),
+            "int8_ms": round(sec_int8 * 1e3, 3),
+            "bf16_imgs_per_sec": round(b / sec_bf16, 1),
+            "int8_imgs_per_sec": round(b / sec_int8, 1),
+            "int8_speedup": round(sec_bf16 / sec_int8, 3),
+        }
+        results.append(row)
+        print(json.dumps(row))
+    return results
+
+
+if __name__ == "__main__":
+    main()

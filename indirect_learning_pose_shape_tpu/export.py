@@ -56,6 +56,50 @@ def export_forward(
     return exp.serialize()
 
 
+def export_forward_int8(
+    cfg: configs.TrainConfig,
+    params,
+    state,
+    consts,
+    batch: int,
+    calib_images,
+    platforms=None,
+) -> bytes:
+    """Serialize the int8-PTQ inference forward (models/quantize.py).
+
+    Quantizes the encoder against `calib_images` (per-channel int8 weights,
+    calibrated per-tensor activation scales), bakes the int8 weights + f32
+    scales in as constants, and exports images -> (theta, verts, kp2d).
+    Defaults to platforms=['tpu'] only — the int8 convs target the MXU's
+    double-rate int8 path; pass platforms=['tpu', 'cpu'] for a portable
+    artifact (XLA:CPU lowers int8 too, just without the rate win).
+    """
+    import dataclasses
+
+    from jax import export as jax_export
+
+    from indirect_learning_pose_shape_tpu.models import quantize as q
+
+    size = cfg.model.image_size
+    model_cfg = dataclasses.replace(cfg.model, smpl_impl="xla")
+    qparams = q.ptq_quantize(
+        params["encoder"], state["encoder"], model_cfg.encoder, calib_images
+    )
+
+    def forward(images):
+        out = q.quantized_forward(
+            qparams, params["ief"], consts, images, model_cfg, impl="int8"
+        )
+        return out["theta"], out["verts"], out["kp2d"]
+
+    spec = jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32)
+    exp = jax_export.export(
+        jax.jit(forward),
+        platforms=platforms or ["tpu"],
+    )(spec)
+    return exp.serialize()
+
+
 def load_exported(blob: bytes):
     """Deserialize an exported artifact; returns a callable(images)."""
     return jax.export.deserialize(bytearray(blob)).call

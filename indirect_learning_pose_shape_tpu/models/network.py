@@ -83,8 +83,21 @@ def forward(
         feat, enc_state = enc.encoder_apply(
             params["encoder"], state["encoder"], images, cfg.encoder, train
         )
+    outputs = head_from_features(params["ief"], consts, feat, cfg)
+    return outputs, {"encoder": enc_state}
+
+
+def head_from_features(
+    ief_params: dict, consts: ModelConsts, feat: jax.Array, cfg: ModelConfig
+) -> dict:
+    """IEF → SMPL → projection from encoder features (the post-encoder tail).
+
+    Split out of `forward` so alternative encoder paths — the int8
+    post-training-quantized serving encoder (models/quantize.py) — reuse the
+    identical head.
+    """
     with jax.named_scope("ief"):
-        theta = ief_mod.ief_apply(params["ief"], feat, cfg.ief)
+        theta = ief_mod.ief_apply(ief_params, feat, cfg.ief)
     pose, betas, cam = ief_mod.split_theta(theta, cfg.ief)
     B = pose.shape[0]
     J = consts.smpl.num_joints
@@ -115,7 +128,7 @@ def forward(
         "kp3d": smpl_out["kp3d"],
         "kp2d": kp2d,
     }
-    return outputs, {"encoder": enc_state}
+    return outputs
 
 
 def forward_train(

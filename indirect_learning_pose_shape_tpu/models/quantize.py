@@ -1,0 +1,269 @@
+"""Post-training int8 quantization of the encoder for TPU serving.
+
+The reference has no quantized deploy path (SURVEY.md §2.11 covers fp32
+inference only); this module is a beyond-parity serving capability sized for
+TPU hardware: v5e-class chips run int8 matmuls at 2x the bf16 MXU rate, and
+the encoder is ~60% of inference device time (docs/DESIGN.md profile), so an
+int8 encoder is the single highest-leverage serving optimisation available.
+
+Scheme — standard static PTQ, symmetric:
+- BN folded into conv weights at running statistics (same fold as
+  EncoderConfig.fold_bn_eval), so each site is conv -> bias -> (relu/add).
+- Weights: per-output-channel symmetric int8, scale = absmax/127 over
+  [kh,kw,cin].
+- Activations: per-tensor symmetric int8, scale calibrated as absmax/127
+  over a calibration batch run through the folded f32 network. Symmetric
+  (not affine) quantization halves the usable range post-ReLU but keeps the
+  conv a pure int8xint8->int32 op with a single rescale — no zero-point
+  cross terms — which is what lowers cleanly onto the MXU.
+- Residual adds, ReLU, max-pool and global-average-pool stay f32: the
+  dequantized domain between convs. All FLOPs live in the convs.
+
+Two execution impls, one math:
+- impl='int8': true int8 convs with int32 accumulation
+  (preferred_element_type) — the serving path (int8 lowers on both TPU and
+  XLA:CPU; tested equivalent on CPU, perf-relevant on TPU).
+- impl='sim': identical quantize/dequantize rounding but the conv runs in
+  f32 on dequantized values. Exactly equal to 'int8' modulo f32 accumulation
+  rounding (f32 sums >2^24 of the int products can round; int32 is exact).
+  Kept as the readable reference semantics the equivalence test pins the
+  int8 path against (tests/test_quantize.py).
+
+The quantized encoder feeds the unmodified f32/bf16 head via
+network.head_from_features — IEF/SMPL/projection are <1% of inference
+FLOPs and numerically sensitive (rot6d orthonormalisation, kinematic
+chain), so quantizing them buys nothing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from indirect_learning_pose_shape_tpu.models import encoder as enc
+from indirect_learning_pose_shape_tpu.models import network as net
+
+
+_QMAX = 127.0
+
+
+# ---------------------------------------------------------------------------
+# BN folding: conv+BN(eval) -> conv' + bias
+# ---------------------------------------------------------------------------
+
+
+def _fold_site(w, bnp, bns, eps):
+    inv = jax.lax.rsqrt(bns["var"] + eps) * bnp["scale"]
+    shift = bnp["bias"] - bns["mean"] * inv
+    return w.astype(jnp.float32) * inv, shift.astype(jnp.float32)
+
+
+def _conv_names(block_params):
+    names = [("conv1", "bn1"), ("conv2", "bn2")]
+    if "conv3" in block_params:
+        names.append(("conv3", "bn3"))
+    if "proj" in block_params:
+        names.append(("proj", "bn_proj"))
+    return names
+
+
+def fold_bn(params: dict, state: dict, cfg: enc.EncoderConfig) -> dict:
+    """Folded eval-mode conv sites: {site_name: (w_f32, bias_f32)}.
+
+    Site names: 'stem' and 's{stage}b{block}/{conv1|conv2|conv3|proj}'.
+    """
+    sites = {"stem": _fold_site(params["stem"], params["bn_stem"], state["bn_stem"], cfg.bn_eps)}
+    for name, p in params.items():
+        if not isinstance(p, dict) or name in ("bn_stem",):
+            continue
+        for cname, bnname in _conv_names(p):
+            sites[f"{name}/{cname}"] = _fold_site(
+                p[cname], p[bnname], state[name][bnname], cfg.bn_eps
+            )
+    return sites
+
+
+# ---------------------------------------------------------------------------
+# Shared structure walker
+# ---------------------------------------------------------------------------
+
+
+def _walk(images, cfg: enc.EncoderConfig, has_proj, conv_op):
+    """Run the ResNet topology with `conv_op(x, site, stride, stem)` supplying
+    every conv+bias; mirrors encoder_apply/_block_apply (eval mode)."""
+    blocks = enc._STAGE_BLOCKS[cfg.depth]
+    bottleneck = cfg.depth >= 50
+    x = images.astype(jnp.float32)
+    x = jax.nn.relu(conv_op(x, "stem", 2, stem=True))
+    x = enc._max_pool_ref(x)
+    for stage, n in enumerate(blocks):
+        for b in range(n):
+            stride = 2 if (b == 0 and stage > 0) else 1
+            name = f"s{stage}b{b}"
+            shortcut = x
+            if has_proj(name):
+                shortcut = conv_op(x, f"{name}/proj", stride, stem=False)
+            if bottleneck:
+                y = jax.nn.relu(conv_op(x, f"{name}/conv1", 1, stem=False))
+                y = jax.nn.relu(conv_op(y, f"{name}/conv2", stride, stem=False))
+                y = conv_op(y, f"{name}/conv3", 1, stem=False)
+            else:
+                y = jax.nn.relu(conv_op(x, f"{name}/conv1", stride, stem=False))
+                y = conv_op(y, f"{name}/conv2", 1, stem=False)
+            x = jax.nn.relu(y + shortcut)
+    return jnp.mean(x, axis=(1, 2))
+
+
+def _s2d_input(x):
+    """Space-to-depth rearrangement of the stem input (see enc._stem_conv_s2d)."""
+    B, H, W, Cin = x.shape
+    xp = jnp.pad(x, ((0, 0), (4, 2), (4, 2), (0, 0)))
+    Hp, Wp = xp.shape[1] // 2, xp.shape[2] // 2
+    return (
+        xp.reshape(B, Hp, 2, Wp, 2, Cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, Hp, Wp, 4 * Cin)
+    )
+
+
+def _s2d_kernel(w):
+    """7x7 stem kernel -> 4x4 kernel over 4*Cin channels (see enc._stem_conv_s2d)."""
+    Cin, C = w.shape[2], w.shape[3]
+    w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    return (
+        w8.reshape(4, 2, 4, 2, Cin, C).transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * Cin, C)
+    )
+
+
+def _conv_nhwc(x, w, stride, padding):
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32 if x.dtype == jnp.int8 else None,
+    )
+
+
+def _sym_pad(k):
+    p = (k - 1) // 2
+    return ((p, p), (p, p))
+
+
+# ---------------------------------------------------------------------------
+# Calibration
+# ---------------------------------------------------------------------------
+
+
+def calibrate(folded: dict, images: jax.Array, cfg: enc.EncoderConfig):
+    """Folded-f32 forward; returns (features, {site: input_absmax})."""
+    absmax = {}
+
+    def conv_op(x, site, stride, stem):
+        absmax[site] = jnp.max(jnp.abs(x))
+        w, b = folded[site]
+        if stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            y = _conv_nhwc(_s2d_input(x), _s2d_kernel(w), 1, "VALID")
+        else:
+            y = _conv_nhwc(x, w, stride, _sym_pad(w.shape[0]))
+        return y + b
+
+    feat = _walk(images, cfg, lambda n: f"{n}/proj" in folded, conv_op)
+    return feat, absmax
+
+
+# ---------------------------------------------------------------------------
+# Quantization
+# ---------------------------------------------------------------------------
+
+
+def _quantize_weight(w):
+    """Per-output-channel symmetric int8. Returns (w_int8, scale [cout])."""
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / _QMAX
+    q = jnp.clip(jnp.round(w / s), -_QMAX, _QMAX).astype(jnp.int8)
+    return q, s
+
+
+def ptq_quantize(
+    params: dict, state: dict, cfg: enc.EncoderConfig, calib_images: jax.Array
+) -> dict:
+    """Calibrate + quantize. Returns the qparams pytree:
+
+    {site: {'w': int8, 'w_scale': f32 [cout], 'bias': f32 [cout],
+            'act_scale': f32 scalar}}
+    The stem site's weight is stored pre-transformed to the space-to-depth
+    4x4 layout (serving inputs must have even H, W — standard 256²).
+    """
+    folded = fold_bn(params, state, cfg)
+    _, absmax = jax.jit(calibrate, static_argnums=2)(folded, calib_images, cfg)
+    qparams = {}
+    for site, (w, b) in folded.items():
+        if site == "stem":
+            w = _s2d_kernel(w)
+        wq, ws = _quantize_weight(w)
+        qparams[site] = {
+            "w": wq,
+            "w_scale": ws,
+            "bias": b,
+            "act_scale": jnp.maximum(absmax[site], 1e-12) / _QMAX,
+        }
+    return qparams
+
+
+# ---------------------------------------------------------------------------
+# Quantized forward
+# ---------------------------------------------------------------------------
+
+
+def quantized_encoder_apply(
+    qparams: dict, images: jax.Array, cfg: enc.EncoderConfig, impl: str = "int8"
+) -> jax.Array:
+    """images [B,H,W,3] f32 -> features [B,D] f32, through int8 convs.
+
+    impl='int8' (TPU) | 'sim' (portable fake-quant; equal math, f32 accum).
+    """
+    if impl not in ("int8", "sim"):
+        raise ValueError(f"impl must be 'int8' or 'sim', got {impl!r}")
+
+    def conv_op(x, site, stride, stem):
+        q = qparams[site]
+        s_x = q["act_scale"]
+        if stem:
+            if x.shape[1] % 2 or x.shape[2] % 2:
+                raise ValueError(
+                    "int8 serving path requires even input H, W "
+                    f"(got {x.shape[1]}x{x.shape[2]})"
+                )
+            x = _s2d_input(x)
+            stride, padding = 1, "VALID"
+        else:
+            padding = _sym_pad(q["w"].shape[0])
+        xq = jnp.clip(jnp.round(x / s_x), -_QMAX, _QMAX)
+        if impl == "int8":
+            y = _conv_nhwc(xq.astype(jnp.int8), q["w"], stride, padding)
+            y = y.astype(jnp.float32) * (s_x * q["w_scale"])
+        else:
+            w_dq = q["w"].astype(jnp.float32) * q["w_scale"]
+            y = _conv_nhwc(xq * s_x, w_dq, stride, padding)
+        return y + q["bias"]
+
+    return _walk(images, cfg, lambda n: f"{n}/proj" in qparams, conv_op)
+
+
+def quantized_forward(
+    qparams: dict,
+    ief_params: dict,
+    consts: net.ModelConsts,
+    images: jax.Array,
+    cfg: net.ModelConfig,
+    impl: str = "int8",
+) -> dict:
+    """Full int8-encoder inference: images -> the forward() outputs dict.
+
+    The head (IEF -> SMPL -> projection) is the unmodified f32 path via
+    network.head_from_features.
+    """
+    with jax.named_scope("encoder_int8"):
+        feat = quantized_encoder_apply(qparams, images, cfg.encoder, impl=impl)
+    return net.head_from_features(ief_params, consts, feat, cfg)

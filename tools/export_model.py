@@ -30,13 +30,21 @@ def main():
     ap.add_argument(
         "--platforms",
         nargs="+",
-        default=["tpu", "cpu"],
-        help="lowering platforms embedded in the artifact",
+        default=None,
+        help="lowering platforms embedded in the artifact "
+        "(default: tpu+cpu, or tpu-only with --int8)",
+    )
+    ap.add_argument(
+        "--int8",
+        action="store_true",
+        help="export the int8-PTQ encoder serving path (models/quantize.py); "
+        "calibrates activation scales on a synthetic batch from the preset's "
+        "data config",
     )
     args = ap.parse_args()
 
     from indirect_learning_pose_shape_tpu import configs
-    from indirect_learning_pose_shape_tpu.export import export_forward
+    from indirect_learning_pose_shape_tpu.export import export_forward, export_forward_int8
     from indirect_learning_pose_shape_tpu.predict import load_model
     from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
 
@@ -44,7 +52,21 @@ def main():
     if args.pretrained:
         cfg = dataclasses.replace(cfg, pretrained=args.pretrained)
     params, state, consts = load_model(cfg, args.checkpoint, assets_lib.load_asset())
-    blob = export_forward(cfg, params, state, consts, args.batch, args.platforms)
+    if args.int8:
+        import jax
+
+        from indirect_learning_pose_shape_tpu.data import synthetic
+
+        calib = synthetic.generate_batch(
+            jax.random.PRNGKey(17), 16, consts, cfg.model, cfg.synthetic
+        )["image"]
+        blob = export_forward_int8(
+            cfg, params, state, consts, args.batch, calib, args.platforms
+        )
+    else:
+        blob = export_forward(
+            cfg, params, state, consts, args.batch, args.platforms or ["tpu", "cpu"]
+        )
     with open(args.out, "wb") as f:
         f.write(blob)
     print(
