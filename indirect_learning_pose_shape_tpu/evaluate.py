@@ -107,15 +107,29 @@ def part_metrics(pred_probs: jax.Array, target_labels: jax.Array):
     return acc, miou
 
 
-def _batch_metrics(params, model_state, consts, batch, cfg: configs.TrainConfig):
+def _batch_metrics(
+    params, model_state, consts, batch, cfg: configs.TrainConfig, qparams=None
+):
     """Shared per-batch metric computation (jit-traced).
 
     train=False: metrics must reflect deployed inference behaviour
     (BatchNorm running stats, not per-eval-batch statistics).
+
+    qparams (models/quantize.py pytree) switches the forward to the int8
+    serving encoder — scoring the DEPLOYED quantized model under the same
+    metrics/protocol, so the PTQ accuracy cost is measurable.
     """
-    outputs, _ = net.forward_train(
-        params, model_state, consts, batch["image"], cfg.model, train=False
-    )
+    if qparams is None:
+        outputs, _ = net.forward_train(
+            params, model_state, consts, batch["image"], cfg.model, train=False
+        )
+    else:
+        from indirect_learning_pose_shape_tpu.models import quantize as quant
+
+        outputs = quant.quantized_forward(
+            qparams, params["ief"], consts, batch["image"], cfg.model, impl="int8"
+        )
+        outputs = net.render_outputs(outputs, consts, cfg.model)
     metrics = {
         "sil_iou": silhouette_iou_metric(outputs["silhouette"], batch["silhouette"])
     }
@@ -138,18 +152,22 @@ def _batch_metrics(params, model_state, consts, batch, cfg: configs.TrainConfig)
 
 
 @functools.lru_cache(maxsize=8)
-def _synthetic_eval_fn(cfg: configs.TrainConfig, num_batches: int):
-    """One jitted eval graph per (cfg, num_batches) — cached across call
-    sites so repeated evals (e.g. inside a training loop) never recompile,
-    and the mean over batches accumulates on device via lax.scan."""
+def _synthetic_eval_fn(cfg: configs.TrainConfig, num_batches: int, use_int8: bool):
+    """One jitted eval graph per (cfg, num_batches, int8) — cached across
+    call sites so repeated evals (e.g. inside a training loop) never
+    recompile, and the mean over batches accumulates on device via
+    lax.scan."""
 
     @jax.jit
-    def run(params, model_state, consts, key):
+    def run(params, model_state, consts, key, qparams):
         def body(carry, k):
             batch = synthetic.generate_batch(
                 k, cfg.batch_size, consts, cfg.model, cfg.synthetic
             )
-            m = _batch_metrics(params, model_state, consts, batch, cfg)
+            m = _batch_metrics(
+                params, model_state, consts, batch, cfg,
+                qparams=qparams if use_int8 else None,
+            )
             return carry, m
 
         keys = jax.random.split(key, num_batches)
@@ -166,10 +184,14 @@ def evaluate(
     cfg: configs.TrainConfig,
     num_batches: int = 4,
     seed: int = 123,
+    qparams=None,
 ) -> dict[str, float]:
-    """Deterministic eval over the synthetic validation stream."""
-    run = _synthetic_eval_fn(cfg, num_batches)
-    out = run(params, model_state, consts, jax.random.PRNGKey(seed))
+    """Deterministic eval over the synthetic validation stream.
+
+    qparams: optional models/quantize.py pytree — scores the int8 serving
+    path instead of the bf16 forward (same stream, same metrics)."""
+    run = _synthetic_eval_fn(cfg, num_batches, qparams is not None)
+    out = run(params, model_state, consts, jax.random.PRNGKey(seed), qparams)
     return {k: float(v) for k, v in out.items()}
 
 

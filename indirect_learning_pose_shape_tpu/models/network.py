@@ -159,6 +159,21 @@ def forward_train(
     visualisations want normalized class probabilities).
     """
     outputs, new_state = forward(params, state, consts, images, cfg, train=train)
+    return render_outputs(outputs, consts, cfg, constrain=constrain, probs=probs), new_state
+
+
+def render_outputs(
+    outputs: dict,
+    consts: ModelConsts,
+    cfg: ModelConfig,
+    constrain=None,
+    probs: bool = True,
+) -> dict:
+    """The raster tail of forward_train: outputs dict -> + rendered fields.
+
+    Factored out so alternative forward paths (the int8 serving encoder,
+    evaluate.py's quantized eval) can render supervision/metric maps from
+    their own predictions without re-entering forward()."""
     verts2d = camera.project_pixel(outputs["verts"], outputs["cam"], cfg.image_size)
     with jax.named_scope("raster"):
         if probs:
@@ -183,4 +198,4 @@ def forward_train(
             outputs["bg_gamma"] = cfg.raster.bg_gamma
     outputs["verts2d"] = verts2d
     outputs["silhouette"] = rendered["silhouette"]
-    return outputs, new_state
+    return outputs

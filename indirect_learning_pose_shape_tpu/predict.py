@@ -57,8 +57,20 @@ def load_model(
     return ts.params, ts.model_state, consts
 
 
-def predict(params, state, consts, images, cfg: configs.TrainConfig):
-    """images [B, S, S, 3] in [-1, 1] -> outputs dict (verts, kp2d, theta...)."""
+def predict(params, state, consts, images, cfg: configs.TrainConfig, qparams=None):
+    """images [B, S, S, 3] in [-1, 1] -> outputs dict (verts, kp2d, theta...).
+
+    qparams (models/quantize.py pytree) switches to the int8 serving
+    encoder — what `--int8` deploys."""
+    if qparams is not None:
+        from indirect_learning_pose_shape_tpu.models import quantize as quant
+
+        fn = jax.jit(
+            lambda qp, ip, im: quant.quantized_forward(
+                qp, ip, consts, im, cfg.model, impl="int8"
+            )
+        )
+        return fn(qparams, params["ief"], images)
     fn = jax.jit(
         lambda p, s, im: net.forward(p, s, consts, im, cfg.model, train=False)[0]
     )
@@ -243,6 +255,12 @@ def main():
         help="backbone npz from tools/import_resnet_weights.py (used when "
         "no --checkpoint is given)",
     )
+    ap.add_argument(
+        "--int8",
+        action="store_true",
+        help="predict through the int8-PTQ serving encoder "
+        "(models/quantize.py; calibrated on a synthetic batch)",
+    )
     args = ap.parse_args()
 
     cfg = configs.PRESETS[args.preset]
@@ -272,7 +290,18 @@ def main():
         )(jax.random.PRNGKey(0))
         images = batch["image"]
 
-    outputs = predict(params, state, consts, images, cfg)
+    qparams = None
+    if args.int8:
+        from indirect_learning_pose_shape_tpu.data import synthetic as synth_mod
+        from indirect_learning_pose_shape_tpu.models import quantize as quant
+
+        calib = synth_mod.generate_batch(
+            jax.random.PRNGKey(999), 16, consts, cfg.model, cfg.synthetic
+        )["image"]
+        qparams = quant.ptq_quantize(
+            params["encoder"], state["encoder"], cfg.model.encoder, calib
+        )
+    outputs = predict(params, state, consts, images, cfg, qparams=qparams)
     rendered = render_silhouette(outputs, consts, cfg)
 
     os.makedirs(args.out, exist_ok=True)

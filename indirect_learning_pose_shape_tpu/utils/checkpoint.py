@@ -52,10 +52,33 @@ class Checkpointer:
             step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError("no checkpoint found")
-        # Template-free restore: no structural validation against an abstract
-        # state (this orbax has no partial_restore kwarg), then project onto
-        # the requested keys. Arrays come back host-side; eval jits move them.
-        full = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        # Template built from the checkpoint's own metadata (shapes/dtypes),
+        # with sharding REBOUND to a local device: a template-free restore
+        # adopts the SAVED sharding, which names the saving machine's
+        # devices — a checkpoint written on the TPU then fails to load on a
+        # CPU host with "Device TPU v5 lite0 was not found" (hit when
+        # scoring a TPU-trained model during a tunnel outage). Serving hosts
+        # are not training hosts; eval restore must be device-portable.
+        # (CheckpointManager.item_metadata returns None without a handler
+        # registry on this orbax, so read metadata via StandardCheckpointer
+        # on the step's item directory.)
+        # No structural validation against an abstract state (this orbax has
+        # no partial_restore kwarg) — restore all, project onto the
+        # requested keys. Eval jits move arrays where they need them.
+        import jax
+
+        item_dir = os.path.join(str(self._mgr.directory), str(step), "default")
+        ckptr = ocp.StandardCheckpointer()
+        meta = ckptr.metadata(item_dir).item_metadata
+        local = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+
+        def _to_abstract(m):
+            if getattr(m, "shape", None) is not None and getattr(m, "dtype", None) is not None:
+                return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=local)
+            return m
+
+        template = jax.tree.map(_to_abstract, meta)
+        full = ckptr.restore(item_dir, template)
         missing = [k for k in abstract_subtree if k not in full]
         if missing:
             raise KeyError(f"checkpoint lacks keys {missing}")

@@ -54,6 +54,35 @@ def test_evaluate_runs_on_model(tiny_asset):
     assert metrics == again
 
 
+def test_evaluate_int8_path(tiny_asset):
+    """evaluate(qparams=...) scores the quantized serving path: finite
+    metrics, deterministic, and close to the bf16 eval on the same stream."""
+    from indirect_learning_pose_shape_tpu.data import synthetic
+    from indirect_learning_pose_shape_tpu.models import quantize as quant
+
+    cfg = tiny_train_cfg()
+    ts, consts = train.init_state(cfg, tiny_asset)
+    calib = synthetic.generate_batch(
+        jax.random.PRNGKey(999), 4, consts, cfg.model, cfg.synthetic
+    )["image"]
+    qparams = quant.ptq_quantize(
+        ts.params["encoder"], ts.model_state["encoder"], cfg.model.encoder, calib
+    )
+    m_int8 = evaluate.evaluate(
+        ts.params, ts.model_state, consts, cfg, num_batches=1, qparams=qparams
+    )
+    m_bf16 = evaluate.evaluate(ts.params, ts.model_state, consts, cfg, num_batches=1)
+    for k in ("pve", "mpjpe", "pa_mpjpe", "sil_iou", "kp_err_px"):
+        assert np.isfinite(m_int8[k]), m_int8
+    # At init the IEF head pins outputs near mean params, so the quantized
+    # stream metrics sit within a few percent of the bf16 ones.
+    assert abs(m_int8["sil_iou"] - m_bf16["sil_iou"]) < 0.05, (m_int8, m_bf16)
+    again = evaluate.evaluate(
+        ts.params, ts.model_state, consts, cfg, num_batches=1, qparams=qparams
+    )
+    assert m_int8 == again
+
+
 @pytest.mark.slow
 def test_evaluate_dataset_with_and_without_gt(tiny_asset):
     from indirect_learning_pose_shape_tpu.data.dataset import (

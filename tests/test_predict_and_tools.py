@@ -50,6 +50,19 @@ def test_predict_demo_end_to_end(tmp_path, monkeypatch):
     assert os.path.getsize(os.path.join(out, "m.obj")) > 1000
     assert os.path.getsize(os.path.join(out, "o.png")) > 1000
 
+    # --int8 wiring: predict(qparams=...) routes through the quantized
+    # serving encoder and yields the same output contract.
+    from indirect_learning_pose_shape_tpu.models import quantize as quant
+
+    qparams = quant.ptq_quantize(
+        params["encoder"], state["encoder"], cfg.model.encoder, batch["image"]
+    )
+    out_q = predict.predict(
+        params, state, consts, batch["image"], cfg, qparams=qparams
+    )
+    assert out_q["verts"].shape == (2, 864, 3)
+    assert np.isfinite(np.asarray(out_q["kp2d"])).all()
+
 
 def test_load_image_files(tmp_path):
     """predict --image path: arbitrary files, with and without masks."""

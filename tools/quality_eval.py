@@ -32,7 +32,16 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--seeds", type=int, nargs="+", default=list(PROTOCOL_SEEDS))
+    ap.add_argument(
+        "--int8",
+        action="store_true",
+        help="score the int8-PTQ serving path (models/quantize.py) instead of "
+        "the bf16 forward; calibration uses a held-out synthetic batch "
+        "(seed 999, 16 images) disjoint from the protocol's eval seeds",
+    )
     args = ap.parse_args()
+
+    import jax
 
     from indirect_learning_pose_shape_tpu import configs, evaluate
     from indirect_learning_pose_shape_tpu.predict import load_model
@@ -41,10 +50,23 @@ def main():
     cfg = configs.PRESETS[args.preset]
     params, state, consts = load_model(cfg, args.checkpoint, assets_lib.load_asset())
 
+    qparams = None
+    if args.int8:
+        from indirect_learning_pose_shape_tpu.data import synthetic
+        from indirect_learning_pose_shape_tpu.models import quantize as quant
+
+        calib = synthetic.generate_batch(
+            jax.random.PRNGKey(999), 16, consts, cfg.model, cfg.synthetic
+        )["image"]
+        qparams = quant.ptq_quantize(
+            params["encoder"], state["encoder"], cfg.model.encoder, calib
+        )
+
     per_seed = {}
     for seed in args.seeds:
         per_seed[seed] = evaluate.evaluate(
-            params, state, consts, cfg, num_batches=args.batches, seed=seed
+            params, state, consts, cfg, num_batches=args.batches, seed=seed,
+            qparams=qparams,
         )
         print(f"seed {seed}: {json.dumps({k: round(v, 5) for k, v in per_seed[seed].items()})}",
               file=sys.stderr)
@@ -61,6 +83,7 @@ def main():
         "checkpoint": args.checkpoint,
         "seeds": args.seeds,
         "batches": args.batches,
+        "int8": args.int8,
         "metrics": summary,
     }
     print(json.dumps(out))
