@@ -38,6 +38,18 @@ def test_encoder_shapes_and_state(rng):
 
 
 @pytest.mark.slow
+def test_encoder_resnet34_basic_blocks(rng):
+    """Depth 34: (3,4,6,3) BASIC blocks (not bottleneck), feature_dim 8*width."""
+    cfg = enc.EncoderConfig(depth=34, width=8, compute_dtype=jnp.float32)
+    params, state = enc.encoder_init(jax.random.PRNGKey(0), cfg)
+    assert "conv3" not in params["s0b0"]  # basic, not bottleneck
+    assert sum(1 for k in params if k.startswith("s") and k[1].isdigit()) == 3 + 4 + 6 + 3
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    feat, _ = enc.encoder_apply(params, state, x, cfg, train=False)
+    assert feat.shape == (1, cfg.feature_dim) and cfg.feature_dim == 8 * 8
+
+
+@pytest.mark.slow
 def test_encoder_resnet50_bottleneck(rng):
     cfg = enc.EncoderConfig(depth=50, width=8, compute_dtype=jnp.float32)
     params, state = enc.encoder_init(jax.random.PRNGKey(0), cfg)
