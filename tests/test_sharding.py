@@ -69,6 +69,40 @@ def test_mesh_scaling_batch_shapes(tiny_asset):
     assert shard_shapes == {4}
 
 
+def test_int8_serving_sharded_matches_single(tiny_asset):
+    """Multi-chip int8 serving: quantized_forward over a data mesh with a
+    batch-sharded input equals the single-device result (params/qparams
+    replicated, XLA partitions the int8 convs)."""
+    from indirect_learning_pose_shape_tpu.data import synthetic
+    from indirect_learning_pose_shape_tpu.models import quantize as quant
+
+    cfg = tiny_train_cfg(batch_size=8)
+    ts, consts = train.init_state(cfg, tiny_asset)
+    batch = jax.jit(lambda k: synthetic.generate_batch(k, 8, consts, cfg.model))(
+        jax.random.PRNGKey(3)
+    )
+    qparams = quant.ptq_quantize(
+        ts.params["encoder"], ts.model_state["encoder"], cfg.model.encoder,
+        batch["image"],
+    )
+
+    def fwd(qp, ip, im):
+        return quant.quantized_forward(qp, ip, consts, im, cfg.model, impl="int8")
+
+    single = jax.jit(fwd)(qparams, ts.params["ief"], batch["image"])
+
+    mesh = mesh_lib.make_mesh()
+    qp_r = mesh_lib.replicate_pytree(qparams, mesh)
+    ip_r = mesh_lib.replicate_pytree(ts.params["ief"], mesh)
+    im_s = jax.device_put(batch["image"], mesh_lib.batch_sharding(mesh))
+    sharded = jax.jit(fwd)(qp_r, ip_r, im_s)
+
+    assert {s.data.shape[0] for s in sharded["verts"].addressable_shards} == {1}
+    np.testing.assert_allclose(
+        np.asarray(single["kp2d"]), np.asarray(sharded["kp2d"]), rtol=2e-3, atol=2e-3
+    )
+
+
 @pytest.mark.slow
 def test_fused_step_sharded(tiny_asset):
     """Single-graph gen+train step runs sharded and keeps params replicated."""
