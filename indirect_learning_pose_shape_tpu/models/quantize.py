@@ -251,6 +251,36 @@ def quantized_encoder_apply(
     return _walk(images, cfg, lambda n: f"{n}/proj" in qparams, conv_op)
 
 
+def save_qparams(path: str, qparams: dict) -> None:
+    """Serialize a quantized-encoder pytree to one .npz (quantize once,
+    deploy many — predict/eval hosts then skip calibration entirely)."""
+    import numpy as np
+
+    flat = {}
+    for site, q in qparams.items():
+        for field, v in q.items():
+            flat[f"{site}::{field}"] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_qparams(path: str) -> dict:
+    """Inverse of save_qparams. Validates dtypes (w must be int8)."""
+    import numpy as np
+
+    qparams: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            site, field = key.split("::", 1)
+            qparams.setdefault(site, {})[field] = jnp.asarray(z[key])
+    for site, q in qparams.items():
+        missing = {"w", "w_scale", "bias", "act_scale"} - set(q)
+        if missing:
+            raise ValueError(f"qparams site {site!r} missing fields {sorted(missing)}")
+        if q["w"].dtype != jnp.int8:
+            raise ValueError(f"qparams site {site!r} weight dtype {q['w'].dtype}, want int8")
+    return qparams
+
+
 def quantized_forward(
     qparams: dict,
     ief_params: dict,

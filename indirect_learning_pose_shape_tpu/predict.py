@@ -261,6 +261,14 @@ def main():
         help="predict through the int8-PTQ serving encoder "
         "(models/quantize.py; calibrated on a synthetic batch)",
     )
+    ap.add_argument(
+        "--qparams",
+        default=None,
+        help="pre-quantized encoder .npz (models/quantize.save_qparams); "
+        "implies --int8 and skips calibration. If the file does not exist "
+        "with --int8, it is written after calibration (quantize once, "
+        "deploy many).",
+    )
     args = ap.parse_args()
 
     cfg = configs.PRESETS[args.preset]
@@ -291,16 +299,23 @@ def main():
         images = batch["image"]
 
     qparams = None
-    if args.int8:
-        from indirect_learning_pose_shape_tpu.data import synthetic as synth_mod
+    if args.int8 or args.qparams:
         from indirect_learning_pose_shape_tpu.models import quantize as quant
 
-        calib = synth_mod.generate_batch(
-            jax.random.PRNGKey(999), 16, consts, cfg.model, cfg.synthetic
-        )["image"]
-        qparams = quant.ptq_quantize(
-            params["encoder"], state["encoder"], cfg.model.encoder, calib
-        )
+        if args.qparams and os.path.exists(args.qparams):
+            qparams = quant.load_qparams(args.qparams)
+        else:
+            from indirect_learning_pose_shape_tpu.data import synthetic as synth_mod
+
+            calib = synth_mod.generate_batch(
+                jax.random.PRNGKey(999), 16, consts, cfg.model, cfg.synthetic
+            )["image"]
+            qparams = quant.ptq_quantize(
+                params["encoder"], state["encoder"], cfg.model.encoder, calib
+            )
+            if args.qparams:
+                quant.save_qparams(args.qparams, qparams)
+                print(f"wrote quantized encoder to {args.qparams}")
     outputs = predict(params, state, consts, images, cfg, qparams=qparams)
     rendered = render_silhouette(outputs, consts, cfg)
 

@@ -116,6 +116,34 @@ def test_quantized_encoder_rejects_odd_sizes(rng):
         q.quantized_encoder_apply(qp, x, cfg, impl="int4")
 
 
+def test_qparams_save_load_roundtrip(tmp_path, rng):
+    cfg = enc.EncoderConfig(depth=18, width=16, compute_dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(2, 48, 48, 3).astype(np.float32)).clip(-1, 1)
+    params, state = _encoder_with_moved_stats(jax.random.PRNGKey(5), cfg, rng, x)
+    qp = q.ptq_quantize(params, state, cfg, x)
+
+    path = str(tmp_path / "enc_int8.npz")
+    q.save_qparams(path, qp)
+    qp2 = q.load_qparams(path)
+
+    assert set(qp2) == set(qp)
+    f1 = q.quantized_encoder_apply(qp, x, cfg, impl="sim")
+    f2 = q.quantized_encoder_apply(qp2, x, cfg, impl="sim")
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+    # Corrupt dtype is refused.
+    import numpy as onp
+
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    wkey = next(k for k in flat if k.endswith("::w"))
+    flat[wkey] = flat[wkey].astype(onp.float32)
+    bad = str(tmp_path / "bad.npz")
+    onp.savez(bad, **flat)
+    with pytest.raises(ValueError, match="int8"):
+        q.load_qparams(bad)
+
+
 def test_int8_matches_sim(rng):
     """True-int8 path == fake-quant path (int32 vs f32 accumulation only)."""
     cfg = enc.EncoderConfig(depth=18, width=16, compute_dtype=jnp.float32)
