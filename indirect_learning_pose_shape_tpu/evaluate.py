@@ -196,15 +196,18 @@ def evaluate(
 
 
 @functools.lru_cache(maxsize=8)
-def _dataset_eval_fn(cfg: configs.TrainConfig, has_gt: bool):
+def _dataset_eval_fn(cfg: configs.TrainConfig, has_gt: bool, use_int8: bool = False):
     from indirect_learning_pose_shape_tpu import train
 
     @jax.jit
-    def run(params, model_state, consts, raw):
+    def run(params, model_state, consts, raw, qparams):
         batch = train.preprocess_raw_batch(raw, consts, cfg)
         if has_gt:
             batch = dict(batch, gt_pose=raw["gt_pose"], gt_betas=raw["gt_betas"])
-        return _batch_metrics(params, model_state, consts, batch, cfg)
+        return _batch_metrics(
+            params, model_state, consts, batch, cfg,
+            qparams=qparams if use_int8 else None,
+        )
 
     return run
 
@@ -216,6 +219,7 @@ def evaluate_dataset(
     cfg: configs.TrainConfig,
     dataset,
     max_batches: int | None = None,
+    qparams=None,
 ) -> dict[str, float]:
     """Eval over a disk dataset (data/dataset.py NpzDataset, epoch 0 order).
 
@@ -226,14 +230,14 @@ def evaluate_dataset(
     error always. The ragged tail batch is dropped (as in training).
     """
     has_gt = "gt_pose" in dataset.arrays and "gt_betas" in dataset.arrays
-    run = _dataset_eval_fn(cfg, has_gt)
+    run = _dataset_eval_fn(cfg, has_gt, qparams is not None)
     raw_keys = ("images", "masks", "kp2d", "kp_vis") + (
         ("gt_pose", "gt_betas") if has_gt else ()
     )
     acc: dict[str, float] = {}
     n = 0
     for raw in dataset.epoch(0):
-        m = run(params, model_state, consts, {k: raw[k] for k in raw_keys})
+        m = run(params, model_state, consts, {k: raw[k] for k in raw_keys}, qparams)
         for name, v in m.items():
             acc[name] = acc.get(name, 0.0) + float(v)
         n += 1
@@ -245,10 +249,13 @@ def evaluate_dataset(
 
 
 @functools.lru_cache(maxsize=8)
-def _preprocessed_eval_fn(cfg: configs.TrainConfig):
+def _preprocessed_eval_fn(cfg: configs.TrainConfig, use_int8: bool = False):
     @jax.jit
-    def run(params, model_state, consts, batch):
-        return _batch_metrics(params, model_state, consts, batch, cfg)
+    def run(params, model_state, consts, batch, qparams):
+        return _batch_metrics(
+            params, model_state, consts, batch, cfg,
+            qparams=qparams if use_int8 else None,
+        )
 
     return run
 
@@ -260,6 +267,7 @@ def evaluate_preprocessed(
     cfg: configs.TrainConfig,
     dataset,
     max_batches: int | None = None,
+    qparams=None,
 ) -> dict[str, float]:
     """Eval over a host-preprocessed batch stream (ImageDirDataset — the
     reference's real-data genre, SURVEY.md §2.11). Batches arrive already
@@ -268,13 +276,13 @@ def evaluate_preprocessed(
     3D metrics need ground-truth SMPL params, which an image directory does
     not carry. Bounded to one epoch (or max_batches) — not the endless
     training stream."""
-    run = _preprocessed_eval_fn(cfg)
+    run = _preprocessed_eval_fn(cfg, qparams is not None)
     limit = max_batches or dataset.steps_per_epoch()
     limit = min(limit, dataset.steps_per_epoch())
     acc: dict[str, float] = {}
     n = 0
     for batch in dataset.batches():
-        m = run(params, model_state, consts, batch)
+        m = run(params, model_state, consts, batch, qparams)
         for name, v in m.items():
             acc[name] = acc.get(name, 0.0) + float(v)
         n += 1
@@ -305,6 +313,18 @@ def main():
         help="score an image-directory dataset (images/, masks/, "
         "keypoints.npz; see data/image_dir.py) — image-space metrics only",
     )
+    ap.add_argument(
+        "--int8",
+        action="store_true",
+        help="score the int8-PTQ serving path (models/quantize.py; "
+        "calibrated on a held-out synthetic batch, seed 999)",
+    )
+    ap.add_argument(
+        "--qparams",
+        default=None,
+        help="pre-quantized encoder .npz (models/quantize.save_qparams); "
+        "implies --int8 and skips calibration",
+    )
     args = ap.parse_args()
 
     from indirect_learning_pose_shape_tpu.predict import load_model
@@ -312,6 +332,19 @@ def main():
 
     cfg = configs.PRESETS[args.preset]
     params, state, consts = load_model(cfg, args.checkpoint, assets_lib.load_asset())
+    qparams = None
+    if args.int8 or args.qparams:
+        from indirect_learning_pose_shape_tpu.models import quantize as quant
+
+        if args.qparams:
+            qparams = quant.load_qparams(args.qparams)
+        else:
+            calib = synthetic.generate_batch(
+                jax.random.PRNGKey(999), 16, consts, cfg.model, cfg.synthetic
+            )["image"]
+            qparams = quant.ptq_quantize(
+                params["encoder"], state["encoder"], cfg.model.encoder, calib
+            )
     if args.image_dir:
         from indirect_learning_pose_shape_tpu.data.image_dir import ImageDirDataset
 
@@ -323,17 +356,21 @@ def main():
             seed=cfg.seed,
         )
         metrics = evaluate_preprocessed(
-            params, state, consts, cfg, ds, max_batches=args.batches or None
+            params, state, consts, cfg, ds, max_batches=args.batches or None,
+            qparams=qparams,
         )
     elif args.dataset:
         from indirect_learning_pose_shape_tpu.data.dataset import NpzDataset
 
         ds = NpzDataset(args.dataset, cfg.batch_size, seed=cfg.seed)
         metrics = evaluate_dataset(
-            params, state, consts, cfg, ds, max_batches=args.batches or None
+            params, state, consts, cfg, ds, max_batches=args.batches or None,
+            qparams=qparams,
         )
     else:
-        metrics = evaluate(params, state, consts, cfg, num_batches=args.batches)
+        metrics = evaluate(
+            params, state, consts, cfg, num_batches=args.batches, qparams=qparams
+        )
     print(json.dumps({k: round(v, 5) for k, v in metrics.items()}))
 
 

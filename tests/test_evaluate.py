@@ -107,6 +107,21 @@ def test_evaluate_dataset_with_and_without_gt(tiny_asset):
     m2 = evaluate.evaluate_dataset(ts.params, ts.model_state, consts, cfg, ds2)
     assert "pve" not in m2 and np.isfinite(m2["sil_iou"]) and np.isfinite(m2["kp_err_px"])
 
+    # int8 scoring works on the disk-dataset path too.
+    from indirect_learning_pose_shape_tpu.data import synthetic
+    from indirect_learning_pose_shape_tpu.models import quantize as quant
+
+    calib = synthetic.generate_batch(
+        jax.random.PRNGKey(999), 4, consts, cfg.model, cfg.synthetic
+    )["image"]
+    qparams = quant.ptq_quantize(
+        ts.params["encoder"], ts.model_state["encoder"], cfg.model.encoder, calib
+    )
+    m3 = evaluate.evaluate_dataset(
+        ts.params, ts.model_state, consts, cfg, ds, qparams=qparams
+    )
+    assert np.isfinite(m3["pve"]) and abs(m3["sil_iou"] - m["sil_iou"]) < 0.05
+
 
 def test_perspective_projection_basic():
     x3d = jnp.array([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]]])
