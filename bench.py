@@ -91,9 +91,44 @@ def _throughput(
     return batch_size * steps / dt
 
 
+def _probe_backend(timeout_s: int = 240) -> bool:
+    """True if backend init completes within timeout_s, else False.
+
+    The remote-chip tunnel can go down entirely; jax.devices() then blocks
+    for minutes inside C++ before raising UNAVAILABLE (seen >6 h on
+    2026-08-17/18). Probing in a SUBPROCESS keeps this process clean and
+    bounds the wait, so the bench emits a diagnosable JSON line instead of
+    wedging the driver.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
 
+    if not _probe_backend():
+        print(
+            json.dumps(
+                {
+                    "metric": "train_images_per_sec_per_chip_config4",
+                    "value": 0.0,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": "accelerator backend init timed out (tunnel down?)",
+                }
+            )
+        )
+        return
     accel = jax.devices()[0]
     batch = 32
     accel_imgs_per_sec = _throughput(accel, batch_size=batch, steps=30, warmup=5)
