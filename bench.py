@@ -114,6 +114,9 @@ def _probe_backend(timeout_s: int = 240) -> bool:
 
 
 def main():
+    from indirect_learning_pose_shape_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import os
 
     if not _probe_backend():

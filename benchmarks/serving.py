@@ -50,6 +50,9 @@ def _time_fn(fn, args, steps: int, warmup: int, fence) -> float:
 
 
 def main():
+    from indirect_learning_pose_shape_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 32, 128])
     ap.add_argument("--steps", type=int, default=30)

@@ -294,6 +294,9 @@ def evaluate_preprocessed(
 
 
 def main():
+    from indirect_learning_pose_shape_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import argparse
     import json
 

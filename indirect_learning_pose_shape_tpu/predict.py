@@ -228,6 +228,9 @@ def save_overlay(path: str, image, silhouette, kp2d, part_map=None, shaded=None)
 
 
 def main():
+    from indirect_learning_pose_shape_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--preset", default="config4_full", choices=sorted(configs.PRESETS))
     ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")

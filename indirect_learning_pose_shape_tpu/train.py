@@ -648,6 +648,9 @@ def fit(
 
 
 def main():
+    from indirect_learning_pose_shape_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--preset", default="config4_full", choices=sorted(configs.PRESETS))
     ap.add_argument("--steps", type=int, default=None)

@@ -27,6 +27,9 @@ PROTOCOL_SEEDS = (123, 231, 312)
 
 
 def main():
+    from indirect_learning_pose_shape_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--preset", default="config4_full")
     ap.add_argument("--checkpoint", default=None)
