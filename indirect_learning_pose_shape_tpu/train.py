@@ -657,6 +657,36 @@ def main():
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--image-size", type=int, default=None)
     ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument(
+        "--lr-schedule",
+        default=None,
+        choices=["constant", "cosine"],
+        help="LR schedule (TrainConfig.lr_schedule); cosine = linear warmup "
+        "over --warmup-steps then cosine decay to the step budget",
+    )
+    ap.add_argument("--warmup-steps", type=int, default=None)
+    ap.add_argument(
+        "--grad-clip",
+        type=float,
+        default=None,
+        help="global-norm gradient clipping threshold (0 disables)",
+    )
+    ap.add_argument(
+        "--weight-decay",
+        type=float,
+        default=None,
+        help="AdamW decoupled weight decay (0 = plain Adam)",
+    )
+    ap.add_argument(
+        "--loss-weight",
+        action="append",
+        default=None,
+        metavar="NAME=VALUE",
+        help="override one loss weight (repeatable), e.g. --loss-weight "
+        "shape_reg=0 --loss-weight kp=10; names must already exist in the "
+        "preset's loss_weights (unknown names are refused)",
+    )
+    ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
     ap.add_argument(
         "--dataset",
@@ -726,6 +756,27 @@ def main():
         updates["batch_size"] = args.batch_size
     if args.lr:
         updates["learning_rate"] = args.lr
+    if args.lr_schedule:
+        updates["lr_schedule"] = args.lr_schedule
+    if args.warmup_steps is not None:
+        updates["warmup_steps"] = args.warmup_steps
+    if args.grad_clip is not None:
+        updates["grad_clip_norm"] = args.grad_clip
+    if args.weight_decay is not None:
+        updates["weight_decay"] = args.weight_decay
+    if args.seed is not None:
+        updates["seed"] = args.seed
+    if args.loss_weight:
+        weights = dict(cfg.loss_weights)
+        for spec in args.loss_weight:
+            name, _, value = spec.partition("=")
+            if not _ or name not in weights:
+                ap.error(
+                    f"--loss-weight {spec!r}: expected NAME=VALUE with NAME "
+                    f"among {sorted(weights)}"
+                )
+            weights[name] = float(value)
+        updates["loss_weights"] = tuple(weights.items())
     if args.steps_per_call is not None:
         if args.steps_per_call < 1:
             ap.error("--steps-per-call must be >= 1")

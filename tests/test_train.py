@@ -192,3 +192,40 @@ def test_grad_clip_and_weight_decay(tiny_asset):
     )
     _, terms = train.fit(cfg, asset=tiny_asset, num_steps=4)
     assert np.isfinite(terms["total"])
+
+
+def test_cli_overrides_reach_config(monkeypatch):
+    """The experiment flags (--lr-schedule/--grad-clip/--weight-decay/
+    --loss-weight/--seed) land in TrainConfig; unknown loss names refuse."""
+    captured = {}
+
+    def fake_fit(cfg, num_steps=None, metrics_path=None):
+        captured["cfg"] = cfg
+        return None, {"total": 0.0}
+
+    monkeypatch.setattr(train, "fit", fake_fit)
+    monkeypatch.setattr(
+        "sys.argv",
+        [
+            "train",
+            "--preset", "config4_full",
+            "--lr-schedule", "cosine",
+            "--warmup-steps", "7",
+            "--grad-clip", "1.5",
+            "--weight-decay", "1e-4",
+            "--seed", "9",
+            "--loss-weight", "shape_reg=0",
+            "--loss-weight", "kp=10",
+        ],
+    )
+    train.main()
+    cfg = captured["cfg"]
+    assert cfg.lr_schedule == "cosine" and cfg.warmup_steps == 7
+    assert cfg.grad_clip_norm == 1.5 and cfg.weight_decay == 1e-4
+    assert cfg.seed == 9
+    w = cfg.loss_weight_dict
+    assert w["shape_reg"] == 0.0 and w["kp"] == 10.0 and w["part_ce"] == 1.0
+
+    monkeypatch.setattr("sys.argv", ["train", "--loss-weight", "nosuch=1"])
+    with pytest.raises(SystemExit):
+        train.main()
