@@ -90,6 +90,13 @@ def main():
             qp, ip, consts, im, cfg.model, impl=impl
         )["theta"]
     )
+    # Carried-int8 path: activations stay int8 across layers (requant fused
+    # into each conv epilogue; models/quantize.py int8c).
+    int8c_fwd = jax.jit(
+        lambda qp, ip, im: q.quantized_forward(
+            qp, ip, consts, im, cfg.model, impl="int8c"
+        )["theta"]
+    )
     fence = lambda out: fetch_fence(out[0, 0])  # noqa: E731
 
     results = []
@@ -100,15 +107,19 @@ def main():
         )
         sec_bf16 = _time_fn(bf16_fwd, (params, state, images), args.steps, 3, fence)
         sec_int8 = _time_fn(int8_fwd, (qparams, params["ief"], images), args.steps, 3, fence)
+        sec_int8c = _time_fn(int8c_fwd, (qparams, params["ief"], images), args.steps, 3, fence)
         row = {
             "batch": b,
             "backend": backend,
             "int8_impl": impl,
             "bf16_ms": round(sec_bf16 * 1e3, 3),
             "int8_ms": round(sec_int8 * 1e3, 3),
+            "int8c_ms": round(sec_int8c * 1e3, 3),
             "bf16_imgs_per_sec": round(b / sec_bf16, 1),
             "int8_imgs_per_sec": round(b / sec_int8, 1),
+            "int8c_imgs_per_sec": round(b / sec_int8c, 1),
             "int8_speedup": round(sec_bf16 / sec_int8, 3),
+            "int8c_speedup": round(sec_bf16 / sec_int8c, 3),
         }
         results.append(row)
         print(json.dumps(row))

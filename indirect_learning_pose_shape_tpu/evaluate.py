@@ -108,7 +108,8 @@ def part_metrics(pred_probs: jax.Array, target_labels: jax.Array):
 
 
 def _batch_metrics(
-    params, model_state, consts, batch, cfg: configs.TrainConfig, qparams=None
+    params, model_state, consts, batch, cfg: configs.TrainConfig, qparams=None,
+    int8_impl: str = "int8",
 ):
     """Shared per-batch metric computation (jit-traced).
 
@@ -127,7 +128,7 @@ def _batch_metrics(
         from indirect_learning_pose_shape_tpu.models import quantize as quant
 
         outputs = quant.quantized_forward(
-            qparams, params["ief"], consts, batch["image"], cfg.model, impl="int8"
+            qparams, params["ief"], consts, batch["image"], cfg.model, impl=int8_impl
         )
         outputs = net.render_outputs(outputs, consts, cfg.model)
     metrics = {
@@ -152,7 +153,10 @@ def _batch_metrics(
 
 
 @functools.lru_cache(maxsize=8)
-def _synthetic_eval_fn(cfg: configs.TrainConfig, num_batches: int, use_int8: bool):
+def _synthetic_eval_fn(
+    cfg: configs.TrainConfig, num_batches: int, use_int8: bool,
+    int8_impl: str = "int8",
+):
     """One jitted eval graph per (cfg, num_batches, int8) — cached across
     call sites so repeated evals (e.g. inside a training loop) never
     recompile, and the mean over batches accumulates on device via
@@ -166,7 +170,7 @@ def _synthetic_eval_fn(cfg: configs.TrainConfig, num_batches: int, use_int8: boo
             )
             m = _batch_metrics(
                 params, model_state, consts, batch, cfg,
-                qparams=qparams if use_int8 else None,
+                qparams=qparams if use_int8 else None, int8_impl=int8_impl,
             )
             return carry, m
 
@@ -185,18 +189,24 @@ def evaluate(
     num_batches: int = 4,
     seed: int = 123,
     qparams=None,
+    int8_impl: str = "int8",
 ) -> dict[str, float]:
     """Deterministic eval over the synthetic validation stream.
 
     qparams: optional models/quantize.py pytree — scores the int8 serving
-    path instead of the bf16 forward (same stream, same metrics)."""
-    run = _synthetic_eval_fn(cfg, num_batches, qparams is not None)
+    path instead of the bf16 forward (same stream, same metrics);
+    int8_impl selects the execution scheme ('int8' per-site f32 handoffs,
+    'int8c' carried int8 activations — models/quantize.py)."""
+    run = _synthetic_eval_fn(cfg, num_batches, qparams is not None, int8_impl)
     out = run(params, model_state, consts, jax.random.PRNGKey(seed), qparams)
     return {k: float(v) for k, v in out.items()}
 
 
 @functools.lru_cache(maxsize=8)
-def _dataset_eval_fn(cfg: configs.TrainConfig, has_gt: bool, use_int8: bool = False):
+def _dataset_eval_fn(
+    cfg: configs.TrainConfig, has_gt: bool, use_int8: bool = False,
+    int8_impl: str = "int8",
+):
     from indirect_learning_pose_shape_tpu import train
 
     @jax.jit
@@ -206,7 +216,7 @@ def _dataset_eval_fn(cfg: configs.TrainConfig, has_gt: bool, use_int8: bool = Fa
             batch = dict(batch, gt_pose=raw["gt_pose"], gt_betas=raw["gt_betas"])
         return _batch_metrics(
             params, model_state, consts, batch, cfg,
-            qparams=qparams if use_int8 else None,
+            qparams=qparams if use_int8 else None, int8_impl=int8_impl,
         )
 
     return run
@@ -220,6 +230,7 @@ def evaluate_dataset(
     dataset,
     max_batches: int | None = None,
     qparams=None,
+    int8_impl: str = "int8",
 ) -> dict[str, float]:
     """Eval over a disk dataset (data/dataset.py NpzDataset, epoch 0 order).
 
@@ -230,7 +241,7 @@ def evaluate_dataset(
     error always. The ragged tail batch is dropped (as in training).
     """
     has_gt = "gt_pose" in dataset.arrays and "gt_betas" in dataset.arrays
-    run = _dataset_eval_fn(cfg, has_gt, qparams is not None)
+    run = _dataset_eval_fn(cfg, has_gt, qparams is not None, int8_impl)
     raw_keys = ("images", "masks", "kp2d", "kp_vis") + (
         ("gt_pose", "gt_betas") if has_gt else ()
     )
@@ -249,12 +260,14 @@ def evaluate_dataset(
 
 
 @functools.lru_cache(maxsize=8)
-def _preprocessed_eval_fn(cfg: configs.TrainConfig, use_int8: bool = False):
+def _preprocessed_eval_fn(
+    cfg: configs.TrainConfig, use_int8: bool = False, int8_impl: str = "int8"
+):
     @jax.jit
     def run(params, model_state, consts, batch, qparams):
         return _batch_metrics(
             params, model_state, consts, batch, cfg,
-            qparams=qparams if use_int8 else None,
+            qparams=qparams if use_int8 else None, int8_impl=int8_impl,
         )
 
     return run
@@ -268,6 +281,7 @@ def evaluate_preprocessed(
     dataset,
     max_batches: int | None = None,
     qparams=None,
+    int8_impl: str = "int8",
 ) -> dict[str, float]:
     """Eval over a host-preprocessed batch stream (ImageDirDataset — the
     reference's real-data genre, SURVEY.md §2.11). Batches arrive already
@@ -276,7 +290,7 @@ def evaluate_preprocessed(
     3D metrics need ground-truth SMPL params, which an image directory does
     not carry. Bounded to one epoch (or max_batches) — not the endless
     training stream."""
-    run = _preprocessed_eval_fn(cfg, qparams is not None)
+    run = _preprocessed_eval_fn(cfg, qparams is not None, int8_impl)
     limit = max_batches or dataset.steps_per_epoch()
     limit = min(limit, dataset.steps_per_epoch())
     acc: dict[str, float] = {}
@@ -328,6 +342,14 @@ def main():
         help="pre-quantized encoder .npz (models/quantize.save_qparams); "
         "implies --int8 and skips calibration",
     )
+    ap.add_argument(
+        "--int8-impl",
+        default="int8",
+        choices=["int8", "int8c", "sim", "simc"],
+        help="int8 execution scheme: 'int8' per-site (f32 between convs), "
+        "'int8c' carried int8 activations; sim/simc are their portable "
+        "f32-accumulation twins (models/quantize.py)",
+    )
     args = ap.parse_args()
 
     from indirect_learning_pose_shape_tpu.predict import load_model
@@ -360,7 +382,7 @@ def main():
         )
         metrics = evaluate_preprocessed(
             params, state, consts, cfg, ds, max_batches=args.batches or None,
-            qparams=qparams,
+            qparams=qparams, int8_impl=args.int8_impl,
         )
     elif args.dataset:
         from indirect_learning_pose_shape_tpu.data.dataset import NpzDataset
@@ -368,11 +390,12 @@ def main():
         ds = NpzDataset(args.dataset, cfg.batch_size, seed=cfg.seed)
         metrics = evaluate_dataset(
             params, state, consts, cfg, ds, max_batches=args.batches or None,
-            qparams=qparams,
+            qparams=qparams, int8_impl=args.int8_impl,
         )
     else:
         metrics = evaluate(
-            params, state, consts, cfg, num_batches=args.batches, qparams=qparams
+            params, state, consts, cfg, num_batches=args.batches, qparams=qparams,
+            int8_impl=args.int8_impl,
         )
     print(json.dumps({k: round(v, 5) for k, v in metrics.items()}))
 

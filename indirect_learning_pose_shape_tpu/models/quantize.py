@@ -221,10 +221,16 @@ def quantized_encoder_apply(
 ) -> jax.Array:
     """images [B,H,W,3] f32 -> features [B,D] f32, through int8 convs.
 
-    impl='int8' (TPU) | 'sim' (portable fake-quant; equal math, f32 accum).
+    impl='int8' (TPU, f32 activations between convs) | 'sim' (portable
+    fake-quant; equal math, f32 accum) | 'int8c'/'simc' (activations
+    CARRIED int8 across layers — see quantized_encoder_apply_carried).
     """
+    if impl in ("int8c", "simc"):
+        return quantized_encoder_apply_carried(qparams, images, cfg, impl=impl)
     if impl not in ("int8", "sim"):
-        raise ValueError(f"impl must be 'int8' or 'sim', got {impl!r}")
+        raise ValueError(
+            f"impl must be one of 'int8', 'sim', 'int8c', 'simc', got {impl!r}"
+        )
 
     def conv_op(x, site, stride, stem):
         q = qparams[site]
@@ -249,6 +255,101 @@ def quantized_encoder_apply(
         return y + q["bias"]
 
     return _walk(images, cfg, lambda n: f"{n}/proj" in qparams, conv_op)
+
+
+def _max_pool_int8(x):
+    """enc._max_pool_ref for integer dtypes (its -inf init only exists for
+    floats). Max-pool commutes with the monotone round/clip requant, so
+    pooling in the int8 domain is exact."""
+    init = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype) if jnp.issubdtype(
+        x.dtype, jnp.integer
+    ) else -jnp.inf
+    return jax.lax.reduce_window(
+        x, init, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+def quantized_encoder_apply_carried(
+    qparams: dict, images: jax.Array, cfg: enc.EncoderConfig, impl: str = "int8c"
+) -> jax.Array:
+    """Fully-quantized serving path: activations stay int8 ACROSS layers.
+
+    Motivation (BASELINE.md §serving): the per-site path ('int8') loses ~7%
+    end-to-end to bf16 because every conv is bracketed by an f32→int8
+    quantize and an int32→f32 dequantize — the f32 activations written and
+    re-read between layers cost more HBM traffic than the double-rate int8
+    MXU saves. Here each conv's epilogue (rescale + bias + relu + requantize
+    to the NEXT site's calibrated scale) emits int8 directly, so the tensor
+    materialized between layers is 1 byte/element instead of 4 — the
+    standard fully-integer inference pipeline, laid out so XLA can fuse the
+    whole epilogue into the convolution.
+
+    Numerics: intermediate activations take ONE extra round/clip vs 'int8'
+    (which keeps exact f32 between convs); residual adds and the final
+    global-average-pool stay f32. Scales reuse the same per-site calibration
+    (a site's input scale IS its producer's output scale, by construction of
+    `calibrate`). impl='int8c' runs true int8 convs; 'simc' is the f32-accum
+    twin (identical rounding, portable) the equivalence test pins against.
+    """
+    if impl not in ("int8c", "simc"):
+        raise ValueError(f"impl must be 'int8c' or 'simc', got {impl!r}")
+    int8_convs = impl == "int8c"
+    blocks = enc._STAGE_BLOCKS[cfg.depth]
+    bottleneck = cfg.depth >= 50
+
+    def requant(y_f32, site):
+        q = jnp.clip(jnp.round(y_f32 / qparams[site]["act_scale"]), -_QMAX, _QMAX)
+        return q.astype(jnp.int8) if int8_convs else q
+
+    def conv(xq, site, stride, padding):
+        """int8-valued xq (scaled at this site's act_scale) -> f32 y + bias."""
+        q = qparams[site]
+        if int8_convs:
+            acc = _conv_nhwc(xq, q["w"], stride, padding)
+            y = acc.astype(jnp.float32) * (q["act_scale"] * q["w_scale"])
+        else:
+            w_dq = q["w"].astype(jnp.float32) * q["w_scale"]
+            y = _conv_nhwc(xq * q["act_scale"], w_dq, stride, padding)
+        return y + q["bias"]
+
+    x = images.astype(jnp.float32)
+    if x.shape[1] % 2 or x.shape[2] % 2:
+        raise ValueError(
+            "int8 serving path requires even input H, W "
+            f"(got {x.shape[1]}x{x.shape[2]})"
+        )
+    # Block order, so each block knows its successor's input scale.
+    names = [f"s{s}b{b}" for s, n in enumerate(blocks) for b in range(n)]
+
+    y = jax.nn.relu(conv(requant(_s2d_input(x), "stem"), "stem", 1, "VALID"))
+    xq = _max_pool_int8(requant(y, f"{names[0]}/conv1"))
+
+    for i, name in enumerate(names):
+        stage, b = int(name[1]), int(name[3:].split("b")[-1])
+        stride = 2 if (b == 0 and stage > 0) else 1
+        s_in = qparams[f"{name}/conv1"]["act_scale"]
+        if f"{name}/proj" in qparams:
+            # proj's calibrated input scale equals conv1's (same tensor).
+            shortcut = conv(xq, f"{name}/proj", stride, _sym_pad(qparams[f"{name}/proj"]["w"].shape[0]))
+        else:
+            shortcut = xq.astype(jnp.float32) * s_in
+        pad = lambda site: _sym_pad(qparams[site]["w"].shape[0])
+        if bottleneck:
+            h = jax.nn.relu(conv(xq, f"{name}/conv1", 1, pad(f"{name}/conv1")))
+            h = requant(h, f"{name}/conv2")
+            h = jax.nn.relu(conv(h, f"{name}/conv2", stride, pad(f"{name}/conv2")))
+            h = requant(h, f"{name}/conv3")
+            yb = conv(h, f"{name}/conv3", 1, pad(f"{name}/conv3"))
+        else:
+            h = jax.nn.relu(conv(xq, f"{name}/conv1", stride, pad(f"{name}/conv1")))
+            h = requant(h, f"{name}/conv2")
+            yb = conv(h, f"{name}/conv2", 1, pad(f"{name}/conv2"))
+        out = jax.nn.relu(yb + shortcut)
+        if i + 1 < len(names):
+            xq = requant(out, f"{names[i + 1]}/conv1")
+        else:
+            return jnp.mean(out, axis=(1, 2))
 
 
 def save_qparams(path: str, qparams: dict) -> None:

@@ -155,3 +155,46 @@ def test_int8_matches_sim(rng):
     np.testing.assert_allclose(
         np.asarray(f_sim), np.asarray(f_i8), rtol=1e-3, atol=1e-3
     )
+
+
+def test_int8c_matches_simc(rng):
+    """Carried-int8 == its f32-accum twin (same requant rounding)."""
+    cfg = enc.EncoderConfig(depth=18, width=16, compute_dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(2, 48, 48, 3).astype(np.float32)).clip(-1, 1)
+    params, state = _encoder_with_moved_stats(jax.random.PRNGKey(6), cfg, rng, x)
+    qp = q.ptq_quantize(params, state, cfg, x)
+    f_simc = q.quantized_encoder_apply(qp, x, cfg, impl="simc")
+    f_i8c = q.quantized_encoder_apply(qp, x, cfg, impl="int8c")
+    np.testing.assert_allclose(
+        np.asarray(f_simc), np.asarray(f_i8c), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_carried_features_close_to_f32(rng):
+    """The one extra requant per layer handoff stays accuracy-benign at
+    feature level (same tolerance contract as the per-site path)."""
+    cfg = enc.EncoderConfig(depth=18, width=16, compute_dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(4, 48, 48, 3).astype(np.float32)).clip(-1, 1)
+    params, state = _encoder_with_moved_stats(jax.random.PRNGKey(7), cfg, rng, x)
+    qp = q.ptq_quantize(params, state, cfg, x)
+    feat_c = q.quantized_encoder_apply(qp, x, cfg, impl="simc")
+    feat_f, _ = enc.encoder_apply(params, state, x, cfg, train=False)
+    fc, ff = np.asarray(feat_c), np.asarray(feat_f)
+    cos = (fc * ff).sum() / (np.linalg.norm(fc) * np.linalg.norm(ff))
+    assert cos > 0.99, cos
+    rel = np.abs(fc - ff).mean() / (np.abs(ff).mean() + 1e-9)
+    assert rel < 0.2, rel
+
+
+def test_carried_resnet50_topology(rng):
+    """Bottleneck blocks: two carried handoffs per block + proj shortcut."""
+    cfg = enc.EncoderConfig(depth=50, width=8, compute_dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32)).clip(-1, 1)
+    params, state = _encoder_with_moved_stats(jax.random.PRNGKey(8), cfg, rng, x)
+    qp = q.ptq_quantize(params, state, cfg, x)
+    f_simc = q.quantized_encoder_apply(qp, x, cfg, impl="simc")
+    f_i8c = q.quantized_encoder_apply(qp, x, cfg, impl="int8c")
+    assert np.isfinite(np.asarray(f_simc)).all()
+    np.testing.assert_allclose(
+        np.asarray(f_simc), np.asarray(f_i8c), rtol=1e-3, atol=1e-3
+    )

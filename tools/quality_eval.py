@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# Runnable as `python tools/quality_eval.py` from anywhere (script dir is
+# sys.path[0], not the repo root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PROTOCOL_SEEDS = (123, 231, 312)
 
@@ -41,6 +46,13 @@ def main():
         help="score the int8-PTQ serving path (models/quantize.py) instead of "
         "the bf16 forward; calibration uses a held-out synthetic batch "
         "(seed 999, 16 images) disjoint from the protocol's eval seeds",
+    )
+    ap.add_argument(
+        "--int8-impl",
+        default="int8",
+        choices=["int8", "int8c", "sim", "simc"],
+        help="int8 execution scheme (models/quantize.py): per-site 'int8' "
+        "or carried-activation 'int8c' (+ portable sim/simc twins)",
     )
     args = ap.parse_args()
 
@@ -69,7 +81,7 @@ def main():
     for seed in args.seeds:
         per_seed[seed] = evaluate.evaluate(
             params, state, consts, cfg, num_batches=args.batches, seed=seed,
-            qparams=qparams,
+            qparams=qparams, int8_impl=args.int8_impl,
         )
         print(f"seed {seed}: {json.dumps({k: round(v, 5) for k, v in per_seed[seed].items()})}",
               file=sys.stderr)
@@ -87,6 +99,7 @@ def main():
         "seeds": args.seeds,
         "batches": args.batches,
         "int8": args.int8,
+        "int8_impl": args.int8_impl if args.int8 else None,
         "metrics": summary,
     }
     print(json.dumps(out))
