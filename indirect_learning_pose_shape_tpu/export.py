@@ -64,6 +64,7 @@ def export_forward_int8(
     batch: int,
     calib_images,
     platforms=None,
+    impl: str = "int8c",
 ) -> bytes:
     """Serialize the int8-PTQ inference forward (models/quantize.py).
 
@@ -73,6 +74,9 @@ def export_forward_int8(
     Defaults to platforms=['tpu'] only — the int8 convs target the MXU's
     double-rate int8 path; pass platforms=['tpu', 'cpu'] for a portable
     artifact (XLA:CPU lowers int8 too, just without the rate win).
+    impl defaults to 'int8c' — the carried-activation scheme that is the
+    measured end-to-end win (BASELINE.md §serving); 'int8' selects the
+    per-site scheme (f32 activations between convs).
     """
     import dataclasses
 
@@ -88,7 +92,7 @@ def export_forward_int8(
 
     def forward(images):
         out = q.quantized_forward(
-            qparams, params["ief"], consts, images, model_cfg, impl="int8"
+            qparams, params["ief"], consts, images, model_cfg, impl=impl
         )
         return out["theta"], out["verts"], out["kp2d"]
 

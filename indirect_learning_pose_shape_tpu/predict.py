@@ -57,17 +57,21 @@ def load_model(
     return ts.params, ts.model_state, consts
 
 
-def predict(params, state, consts, images, cfg: configs.TrainConfig, qparams=None):
+def predict(
+    params, state, consts, images, cfg: configs.TrainConfig, qparams=None,
+    int8_impl: str = "int8c",
+):
     """images [B, S, S, 3] in [-1, 1] -> outputs dict (verts, kp2d, theta...).
 
     qparams (models/quantize.py pytree) switches to the int8 serving
-    encoder — what `--int8` deploys."""
+    encoder — what `--int8` deploys (int8_impl defaults to the carried
+    scheme, the measured end-to-end win; BASELINE.md §serving)."""
     if qparams is not None:
         from indirect_learning_pose_shape_tpu.models import quantize as quant
 
         fn = jax.jit(
             lambda qp, ip, im: quant.quantized_forward(
-                qp, ip, consts, im, cfg.model, impl="int8"
+                qp, ip, consts, im, cfg.model, impl=int8_impl
             )
         )
         return fn(qparams, params["ief"], images)

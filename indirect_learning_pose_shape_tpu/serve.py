@@ -50,6 +50,7 @@ class Predictor:
         consts: net.ModelConsts,
         qparams: Optional[dict] = None,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
+        int8_impl: str = "int8c",
     ):
         if not buckets or any(b <= 0 for b in buckets):
             raise ValueError(f"buckets must be positive, got {buckets!r}")
@@ -74,7 +75,8 @@ class Predictor:
 
             def fwd(images):
                 return quant.quantized_forward(
-                    qparams, params["ief"], consts, images, model_cfg, impl="int8"
+                    qparams, params["ief"], consts, images, model_cfg,
+                    impl=int8_impl,
                 )
 
         self._fwd = jax.jit(fwd)  # one cache entry per padded shape = per bucket

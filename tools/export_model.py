@@ -41,6 +41,14 @@ def main():
         "calibrates activation scales on a synthetic batch from the preset's "
         "data config",
     )
+    ap.add_argument(
+        "--int8-impl",
+        default="int8c",
+        choices=["int8", "int8c"],
+        help="int8 execution scheme: 'int8c' (default; activations carried "
+        "int8 across layers — the measured end-to-end win) or 'int8' "
+        "(per-site, f32 between convs)",
+    )
     args = ap.parse_args()
 
     from indirect_learning_pose_shape_tpu import configs
@@ -61,7 +69,8 @@ def main():
             jax.random.PRNGKey(17), 16, consts, cfg.model, cfg.synthetic
         )["image"]
         blob = export_forward_int8(
-            cfg, params, state, consts, args.batch, calib, args.platforms
+            cfg, params, state, consts, args.batch, calib, args.platforms,
+            impl=args.int8_impl,
         )
     else:
         blob = export_forward(
