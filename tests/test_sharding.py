@@ -69,10 +69,12 @@ def test_mesh_scaling_batch_shapes(tiny_asset):
     assert shard_shapes == {4}
 
 
-def test_int8_serving_sharded_matches_single(tiny_asset):
+@pytest.mark.parametrize("impl", ["int8", "int8c"])
+def test_int8_serving_sharded_matches_single(tiny_asset, impl):
     """Multi-chip int8 serving: quantized_forward over a data mesh with a
     batch-sharded input equals the single-device result (params/qparams
-    replicated, XLA partitions the int8 convs)."""
+    replicated, XLA partitions the int8 convs) — for both the per-site and
+    the deployed carried-activation scheme."""
     from indirect_learning_pose_shape_tpu.data import synthetic
     from indirect_learning_pose_shape_tpu.models import quantize as quant
 
@@ -87,7 +89,7 @@ def test_int8_serving_sharded_matches_single(tiny_asset):
     )
 
     def fwd(qp, ip, im):
-        return quant.quantized_forward(qp, ip, consts, im, cfg.model, impl="int8")
+        return quant.quantized_forward(qp, ip, consts, im, cfg.model, impl=impl)
 
     single = jax.jit(fwd)(qparams, ts.params["ief"], batch["image"])
 
