@@ -78,6 +78,14 @@ class TrainConfig:
     # a mean-params file; npz with 'mean_theta' or bare .npy, shape-checked
     # in models/ief.load_mean_theta). None = the neutral stand-in.
     mean_params: str | None = None
+    # Exponential moving average of the params for evaluation/serving
+    # (Polyak averaging — beyond reference parity, standard production
+    # practice). 0 disables; typical 0.999. The EMA tree rides TrainState
+    # (updated in-graph each step, checkpointed with everything else) and
+    # is selected at load time via load_model(..., ema=True) /
+    # `--ema` on evaluate/predict. BN running stats are already
+    # momentum-averaged and are not double-averaged here.
+    ema_decay: float = 0.0
 
     @property
     def loss_weight_dict(self) -> dict[str, float]:

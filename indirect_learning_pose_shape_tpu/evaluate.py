@@ -350,13 +350,21 @@ def main():
         "'int8c' carried int8 activations; sim/simc are their portable "
         "f32-accumulation twins (models/quantize.py)",
     )
+    ap.add_argument(
+        "--ema",
+        action="store_true",
+        help="score the Polyak-averaged (EMA) params from the checkpoint "
+        "instead of the raw ones (requires a run with ema_decay>0)",
+    )
     args = ap.parse_args()
 
     from indirect_learning_pose_shape_tpu.predict import load_model
     from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
 
     cfg = configs.PRESETS[args.preset]
-    params, state, consts = load_model(cfg, args.checkpoint, assets_lib.load_asset())
+    params, state, consts = load_model(
+        cfg, args.checkpoint, assets_lib.load_asset(), ema=args.ema
+    )
     qparams = None
     if args.int8 or args.qparams:
         from indirect_learning_pose_shape_tpu.models import quantize as quant

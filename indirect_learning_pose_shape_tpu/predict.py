@@ -34,12 +34,17 @@ def load_model(
     cfg: configs.TrainConfig,
     checkpoint_dir: Optional[str] = None,
     asset=None,
+    ema: bool = False,
 ):
     """Returns (params, state, consts). Restores the latest checkpoint if given.
 
     Restores params + model (BN) state only — deliberately NOT the optimizer
     state, so a checkpoint written by a run with different optimizer
     plumbing (clip chain, AdamW, schedule) loads fine for evaluation.
+
+    ema=True serves the Polyak-averaged shadow params instead of the raw
+    ones (TrainConfig.ema_decay); refused loudly when the checkpoint was
+    written by a run without EMA.
     """
     from indirect_learning_pose_shape_tpu import train
 
@@ -49,12 +54,22 @@ def load_model(
 
         ckpt = Checkpointer(checkpoint_dir)
         abstract = dataclasses.asdict(ts)
-        restored = ckpt.restore_partial(
-            {"params": abstract["params"], "model_state": abstract["model_state"]}
-        )
+        want = {"params": abstract["params"], "model_state": abstract["model_state"]}
+        if ema:
+            want["ema_params"] = abstract["params"]
+        restored = ckpt.restore_partial(want)
         ckpt.close()
-        return restored["params"], restored["model_state"], consts
-    return ts.params, ts.model_state, consts
+        params = restored["ema_params"] if ema else restored["params"]
+        if ema and params is None:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir!r} holds no EMA params (the run "
+                "trained with ema_decay=0); re-train with TrainConfig."
+                "ema_decay>0 or drop --ema"
+            )
+        return params, restored["model_state"], consts
+    if ema and ts.ema_params is None:
+        raise ValueError("ema requested but cfg.ema_decay=0 and no checkpoint given")
+    return (ts.ema_params if ema else ts.params), ts.model_state, consts
 
 
 def predict(
@@ -276,13 +291,19 @@ def main():
         "with --int8, it is written after calibration (quantize once, "
         "deploy many).",
     )
+    ap.add_argument(
+        "--ema",
+        action="store_true",
+        help="serve the Polyak-averaged (EMA) params from the checkpoint "
+        "instead of the raw ones (requires a run with ema_decay>0)",
+    )
     args = ap.parse_args()
 
     cfg = configs.PRESETS[args.preset]
     if args.pretrained:
         cfg = dataclasses.replace(cfg, pretrained=args.pretrained)
     asset = assets_lib.load_asset()
-    params, state, consts = load_model(cfg, args.checkpoint, asset)
+    params, state, consts = load_model(cfg, args.checkpoint, asset, ema=args.ema)
     size = cfg.model.image_size
 
     if args.image:

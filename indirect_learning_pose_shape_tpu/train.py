@@ -42,6 +42,10 @@ class TrainState:
     opt_state: Any
     step: jax.Array
     rng: jax.Array
+    # Polyak/EMA shadow of `params` (cfg.ema_decay > 0); None when disabled.
+    # None is an empty pytree node, so the no-EMA state checkpoints and
+    # shards exactly as before.
+    ema_params: Any = None
 
 
 def make_optimizer(cfg: configs.TrainConfig) -> optax.GradientTransformation:
@@ -87,12 +91,21 @@ def init_state(cfg: configs.TrainConfig, asset=None):
             cfg.pretrained, cfg.model.encoder, params, model_state
         )
     opt_state = make_optimizer(cfg).init(params)
+    # EMA starts AT the initial params (no zero-init/debias dance): the
+    # shadow is a valid model from step 0 and converges to the trailing
+    # average over ~1/(1-decay) steps.
+    ema = (
+        jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        if cfg.ema_decay
+        else None
+    )
     ts = TrainState(
         params=params,
         model_state=model_state,
         opt_state=opt_state,
         step=jnp.zeros((), jnp.int32),
         rng=k_run,
+        ema_params=ema,
     )
     return ts, consts
 
@@ -172,12 +185,19 @@ def train_step(ts: TrainState, batch, consts, cfg: configs.TrainConfig, constrai
             grads, ts.opt_state, ts.params
         )
         new_params = optax.apply_updates(ts.params, updates)
+        new_ema = ts.ema_params
+        if cfg.ema_decay:
+            d = cfg.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, ts.ema_params, new_params
+            )
     new_ts = TrainState(
         params=new_params,
         model_state=new_model_state,
         opt_state=new_opt_state,
         step=ts.step + 1,
         rng=ts.rng,
+        ema_params=new_ema,
     )
     return new_ts, terms
 
@@ -744,6 +764,13 @@ def main():
         "IEF's Θ₀ (SURVEY.md §2.5); default is the neutral stand-in",
     )
     ap.add_argument(
+        "--ema-decay",
+        type=float,
+        default=None,
+        help="Polyak-average the params with this decay (e.g. 0.999); the "
+        "EMA shadow is checkpointed and served via evaluate/predict --ema",
+    )
+    ap.add_argument(
         "--tensorboard",
         default=None,
         help="directory for TensorBoard event files (utils/metrics.py)",
@@ -799,6 +826,10 @@ def main():
         updates["pretrained"] = args.pretrained
     if args.mean_params:
         updates["mean_params"] = args.mean_params
+    if args.ema_decay is not None:
+        if not 0.0 <= args.ema_decay < 1.0:
+            ap.error("--ema-decay must be in [0, 1)")
+        updates["ema_decay"] = args.ema_decay
     if args.tensorboard:
         updates["tensorboard_dir"] = args.tensorboard
     if args.image_size:

@@ -229,3 +229,79 @@ def test_cli_overrides_reach_config(monkeypatch):
     monkeypatch.setattr("sys.argv", ["train", "--loss-weight", "nosuch=1"])
     with pytest.raises(SystemExit):
         train.main()
+
+
+def test_ema_params_polyak_average(tiny_asset):
+    """ts.ema_params is exactly the Polyak average of the param trajectory,
+    initialized at the step-0 params (TrainConfig.ema_decay)."""
+    d = 0.5  # short horizon so three steps move the shadow measurably
+    cfg = tiny_train_cfg(ema_decay=d)
+    ts, consts = train.init_state(cfg, tiny_asset)
+    assert ts.ema_params is not None
+    fused = train.compile_fused_step(cfg, consts)
+    shadow = jax.tree.map(lambda x: np.asarray(x, np.float64), ts.params)
+    for _ in range(3):
+        ts, _ = fused(ts)
+        shadow = jax.tree.map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p, np.float64),
+            shadow,
+            ts.params,
+        )
+    errs = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.max(np.abs(a - np.asarray(b, np.float64)))),
+            shadow,
+            ts.ema_params,
+        )
+    )
+    assert max(errs) < 1e-6
+    # And the shadow genuinely differs from the raw params (it trails them).
+    diffs = jax.tree.leaves(
+        jax.tree.map(
+            lambda e, p: float(np.max(np.abs(np.asarray(e) - np.asarray(p)))),
+            ts.ema_params,
+            ts.params,
+        )
+    )
+    assert max(diffs) > 1e-6
+
+
+def test_ema_checkpointed_and_served(tiny_asset, tmp_path):
+    """The EMA shadow rides checkpoints; load_model(ema=True) serves it;
+    a no-EMA checkpoint refuses --ema loudly."""
+    from indirect_learning_pose_shape_tpu.predict import load_model
+
+    ck = str(tmp_path / "ck_ema")
+    cfg = tiny_train_cfg(ema_decay=0.9, checkpoint_every=2, checkpoint_dir=ck)
+    ts, _ = train.fit(cfg, asset=tiny_asset, num_steps=4)
+
+    p_ema, state, _ = load_model(cfg, ck, tiny_asset, ema=True)
+    errs = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            p_ema,
+            ts.ema_params,
+        )
+    )
+    assert max(errs) == 0.0
+    p_raw, _, _ = load_model(cfg, ck, tiny_asset)
+    raw_vs_ema = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            p_raw,
+            p_ema,
+        )
+    )
+    assert max(raw_vs_ema) > 0.0
+
+    # Resume continues the shadow (structure round-trips through orbax).
+    ts2, _ = train.fit(cfg, asset=tiny_asset, num_steps=6)
+    assert int(ts2.step) == 6 and ts2.ema_params is not None
+
+    # A run without EMA writes no shadow: --ema must refuse, not silently
+    # serve raw params.
+    ck0 = str(tmp_path / "ck_noema")
+    cfg0 = tiny_train_cfg(checkpoint_every=2, checkpoint_dir=ck0)
+    train.fit(cfg0, asset=tiny_asset, num_steps=2)
+    with pytest.raises((ValueError, KeyError)):
+        load_model(cfg0, ck0, tiny_asset, ema=True)

@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--preset", default="config4_full")
     ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
     ap.add_argument("--pretrained", default=None, help="backbone npz")
+    ap.add_argument(
+        "--ema",
+        action="store_true",
+        help="export the Polyak-averaged (EMA) params from the checkpoint "
+        "(requires a run trained with ema_decay>0)",
+    )
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument(
         "--platforms",
@@ -59,7 +65,9 @@ def main():
     cfg = configs.PRESETS[args.preset]
     if args.pretrained:
         cfg = dataclasses.replace(cfg, pretrained=args.pretrained)
-    params, state, consts = load_model(cfg, args.checkpoint, assets_lib.load_asset())
+    params, state, consts = load_model(
+        cfg, args.checkpoint, assets_lib.load_asset(), ema=args.ema
+    )
     if args.int8:
         import jax
 

@@ -54,6 +54,12 @@ def main():
         help="int8 execution scheme (models/quantize.py): per-site 'int8' "
         "or carried-activation 'int8c' (+ portable sim/simc twins)",
     )
+    ap.add_argument(
+        "--ema",
+        action="store_true",
+        help="score the Polyak-averaged (EMA) params from the checkpoint "
+        "(requires a run trained with ema_decay>0)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -63,7 +69,9 @@ def main():
     from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
 
     cfg = configs.PRESETS[args.preset]
-    params, state, consts = load_model(cfg, args.checkpoint, assets_lib.load_asset())
+    params, state, consts = load_model(
+        cfg, args.checkpoint, assets_lib.load_asset(), ema=args.ema
+    )
 
     qparams = None
     if args.int8:
@@ -100,6 +108,7 @@ def main():
         "batches": args.batches,
         "int8": args.int8,
         "int8_impl": args.int8_impl if args.int8 else None,
+        "ema": args.ema,
         "metrics": summary,
     }
     print(json.dumps(out))
