@@ -15,16 +15,36 @@ On-disk format: one `.npz` with
 `make_synthetic_dataset` materializes such a file from our own renderer so
 the full real-data path is testable without any external download
 (SURVEY.md §4.3).
+
+Datasets too large for host RAM use the same format split across many
+shard files (`ShardedNpzDataset` + `shard_npz`): at most one shard is
+resident at a time, the stream stays deterministic and resumable by index
+arithmetic, and the prefetch thread hides shard loads behind device compute.
 """
 
 from __future__ import annotations
 
+import glob as _glob
+import os
 import queue
 import threading
 from typing import Iterator, Optional
 
 import jax
 import numpy as np
+
+
+def _check_mask_labels(arrays: dict, origin: str) -> None:
+    """Part-label ids must fit the 256-entry flip/clip tables downstream
+    (data/augment.py): a wider id would be clamped by JAX's gather semantics
+    on device — wrong labels with no signal — so refuse on the host, loudly."""
+    if "masks" in arrays and arrays["masks"].size:
+        max_label = int(arrays["masks"].max())
+        if max_label >= 256:
+            raise ValueError(
+                f"{origin}: mask labels reach {max_label}; part-label ids "
+                "must be < 256 (uint8 label space). Remap the dataset's masks."
+            )
 
 
 class NpzDataset:
@@ -39,19 +59,10 @@ class NpzDataset:
         self.batch_size = batch_size
         self.seed = seed
         self.num_examples = len(self.arrays["images"])
+        self.keys = frozenset(self.arrays)
         if self.num_examples < batch_size:
             raise ValueError("dataset smaller than one batch")
-        # Part-label ids must fit the 256-entry flip/clip tables downstream
-        # (data/augment.py): a wider id would be clamped by JAX's gather
-        # semantics on device — wrong labels with no signal — so refuse on
-        # the host, once, where it is loud.
-        if "masks" in self.arrays:
-            max_label = int(self.arrays["masks"].max()) if self.num_examples else 0
-            if max_label >= 256:
-                raise ValueError(
-                    f"mask labels reach {max_label}; part-label ids must be "
-                    "< 256 (uint8 label space). Remap the dataset's masks."
-                )
+        _check_mask_labels(self.arrays, "dataset")
 
     def _epoch_order(self, epoch_idx: int) -> np.ndarray:
         rng = np.random.RandomState((self.seed * 100003 + epoch_idx) % (2**31))
@@ -82,6 +93,152 @@ class NpzDataset:
                 idx = order[i * self.batch_size : (i + 1) * self.batch_size]
                 yield {k: v[idx] for k, v in self.arrays.items()}
                 step += 1
+
+
+class ShardedNpzDataset:
+    """Disk-resident dataset over many `.npz` shards (same keys per shard).
+
+    Scales the NpzDataset contract past host RAM: at most ONE shard's
+    arrays are resident at a time. Shuffle design is two-level so lazy
+    loading stays possible — each epoch permutes the shard order AND the
+    example order within every shard (all seeded from (seed, epoch, shard),
+    independent of iteration order), and batches are drawn within one shard
+    at a time. Ragged per-shard tails are dropped (NpzDataset's drop-tail
+    contract applied per shard). Resume (`batches(start_step=...)`) is pure
+    index arithmetic: shards before the resume point are never read.
+
+    Accepts a directory (all `*.npz` inside, sorted), a glob pattern, or an
+    explicit path list. Writer side: `shard_npz` splits a monolithic file.
+    """
+
+    def __init__(self, paths_or_pattern, batch_size: int, seed: int = 0):
+        if isinstance(paths_or_pattern, (list, tuple)):
+            paths = [str(p) for p in paths_or_pattern]
+        else:
+            p = str(paths_or_pattern)
+            if os.path.isdir(p):
+                paths = sorted(_glob.glob(os.path.join(p, "*.npz")))
+            else:
+                paths = sorted(_glob.glob(p))
+        if not paths:
+            raise FileNotFoundError(
+                f"no .npz shards match {paths_or_pattern!r}"
+            )
+        self.paths = paths
+        self.batch_size = batch_size
+        self.seed = seed
+        # Init reads only each shard's smallest array (kp_vis [N, K]) for the
+        # example count + the key inventory — no image data touches RAM.
+        self._counts: list[int] = []
+        keys: Optional[frozenset] = None
+        for path in paths:
+            with np.load(path) as z:
+                files = frozenset(z.files)
+                count_key = "kp_vis" if "kp_vis" in files else sorted(files)[0]
+                n = int(z[count_key].shape[0])
+            if keys is None:
+                keys = files
+            elif files != keys:
+                raise ValueError(
+                    f"shard {path!r} keys {sorted(files)} differ from the "
+                    f"first shard's {sorted(keys)}"
+                )
+            self._counts.append(n)
+        self.keys = keys
+        self._spe = [n // batch_size for n in self._counts]
+        if sum(self._spe) == 0:
+            raise ValueError(
+                f"every shard is smaller than one batch ({batch_size}); "
+                "use larger shards or a smaller batch"
+            )
+        self.num_examples = sum(self._counts)
+        self._cache: tuple[Optional[str], Optional[dict]] = (None, None)
+
+    def _load(self, shard_idx: int) -> dict:
+        path = self.paths[shard_idx]
+        if self._cache[0] != path:
+            with np.load(path) as z:
+                arrays = {k: z[k] for k in z.files}
+            n = len(arrays[min(arrays, key=lambda k: arrays[k].ndim)])
+            if n != self._counts[shard_idx]:
+                raise ValueError(f"shard {path!r} changed size on disk")
+            _check_mask_labels(arrays, f"shard {path!r}")
+            self._cache = (path, arrays)
+        return self._cache[1]
+
+    def _perm(self, epoch_idx: int, shard_idx: int) -> np.ndarray:
+        """Within-shard example permutation; a pure function of
+        (seed, epoch, shard) so resume never depends on replay."""
+        s = (self.seed * 100003 + epoch_idx * 131071 + shard_idx * 7919 + 1) % (
+            2**31
+        )
+        return np.random.RandomState(s).permutation(self._counts[shard_idx])
+
+    def _shard_order(self, epoch_idx: int) -> np.ndarray:
+        s = (self.seed * 100003 + epoch_idx) % (2**31)
+        return np.random.RandomState(s).permutation(len(self.paths))
+
+    def steps_per_epoch(self) -> int:
+        return sum(self._spe)
+
+    def batches(self, start_step: int = 0) -> Iterator[dict]:
+        """Endless deterministic batch stream, resumable at any global step."""
+        spe = self.steps_per_epoch()
+        step = start_step
+        while True:
+            epoch_idx, offset = divmod(step, spe)
+            for si in self._shard_order(epoch_idx):
+                k = self._spe[si]
+                if offset >= k:  # whole shard before the resume point: skip unread
+                    offset -= k
+                    continue
+                perm = self._perm(epoch_idx, int(si))
+                arrays = self._load(int(si))
+                for i in range(offset, k):
+                    idx = perm[i * self.batch_size : (i + 1) * self.batch_size]
+                    yield {key: v[idx] for key, v in arrays.items()}
+                    step += 1
+                offset = 0
+
+    def epoch(self, epoch_idx: int) -> Iterator[dict]:
+        """Exactly one epoch's batches (the eval-loop entry point)."""
+        gen = self.batches(start_step=epoch_idx * self.steps_per_epoch())
+        for _ in range(self.steps_per_epoch()):
+            yield next(gen)
+
+
+def shard_npz(src: str, out_dir: str, shard_size: int) -> list[str]:
+    """Split a monolithic dataset .npz into ShardedNpzDataset shards.
+
+    Streams one shard's slice at a time (np.load is lazy per key), so the
+    peak memory is one shard, not the whole source. Returns shard paths.
+    """
+    if shard_size <= 0:
+        raise ValueError("shard_size must be positive")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    with np.load(src) as z:
+        keys = list(z.files)
+        n = z[keys[0]].shape[0]
+        for k in keys:
+            if z[k].shape[0] != n:
+                raise ValueError(
+                    f"key {k!r} has {z[k].shape[0]} examples, expected {n}"
+                )
+        for shard_idx, start in enumerate(range(0, n, shard_size)):
+            stop = min(start + shard_size, n)
+            path = os.path.join(out_dir, f"shard_{shard_idx:05d}.npz")
+            np.savez(path, **{k: z[k][start:stop] for k in keys})
+            paths.append(path)
+    return paths
+
+
+def open_dataset(path: str, batch_size: int, seed: int = 0):
+    """NpzDataset for a single .npz file; ShardedNpzDataset for a directory
+    or glob pattern of shards (the train/evaluate --dataset dispatch)."""
+    if os.path.isdir(path) or any(c in path for c in "*?["):
+        return ShardedNpzDataset(path, batch_size, seed=seed)
+    return NpzDataset(path, batch_size, seed=seed)
 
 
 def prefetch_to_device(

@@ -240,7 +240,8 @@ def evaluate_dataset(
     carries gt_pose/gt_betas; silhouette IoU and visible-keypoint pixel
     error always. The ragged tail batch is dropped (as in training).
     """
-    has_gt = "gt_pose" in dataset.arrays and "gt_betas" in dataset.arrays
+    keys = getattr(dataset, "keys", None) or frozenset(dataset.arrays)
+    has_gt = "gt_pose" in keys and "gt_betas" in keys
     run = _dataset_eval_fn(cfg, has_gt, qparams is not None, int8_impl)
     raw_keys = ("images", "masks", "kp2d", "kp_vis") + (
         ("gt_pose", "gt_betas") if has_gt else ()
@@ -321,8 +322,9 @@ def main():
     ap.add_argument(
         "--dataset",
         default=None,
-        help="score a .npz disk dataset (data/dataset.py format) instead of "
-        "the synthetic stream; 3D metrics appear when it has gt_pose/gt_betas",
+        help="score a disk dataset instead of the synthetic stream: a .npz "
+        "file or a directory/glob of shards (data/dataset.py); 3D metrics "
+        "appear when it has gt_pose/gt_betas",
     )
     ap.add_argument(
         "--image-dir",
@@ -393,9 +395,9 @@ def main():
             qparams=qparams, int8_impl=args.int8_impl,
         )
     elif args.dataset:
-        from indirect_learning_pose_shape_tpu.data.dataset import NpzDataset
+        from indirect_learning_pose_shape_tpu.data.dataset import open_dataset
 
-        ds = NpzDataset(args.dataset, cfg.batch_size, seed=cfg.seed)
+        ds = open_dataset(args.dataset, cfg.batch_size, seed=cfg.seed)
         metrics = evaluate_dataset(
             params, state, consts, cfg, ds, max_batches=args.batches or None,
             qparams=qparams, int8_impl=args.int8_impl,

@@ -711,8 +711,10 @@ def main():
     ap.add_argument(
         "--dataset",
         default=None,
-        help="train from a .npz dataset on disk (see data/dataset.py) "
-        "instead of the on-device synthetic stream",
+        help="train from disk instead of the on-device synthetic stream: a "
+        ".npz file, or a directory/glob of .npz shards for datasets larger "
+        "than host RAM (data/dataset.py ShardedNpzDataset; one shard "
+        "resident at a time)",
     )
     ap.add_argument(
         "--image-dir",
@@ -871,9 +873,9 @@ def main():
                 cfg, ds, num_steps=args.steps, metrics_path=args.metrics
             )
         elif args.dataset:
-            from indirect_learning_pose_shape_tpu.data.dataset import NpzDataset
+            from indirect_learning_pose_shape_tpu.data.dataset import open_dataset
 
-            ds = NpzDataset(args.dataset, cfg.batch_size, seed=cfg.seed)
+            ds = open_dataset(args.dataset, cfg.batch_size, seed=cfg.seed)
             _, terms = fit_dataset(
                 cfg, ds, num_steps=args.steps, metrics_path=args.metrics
             )
