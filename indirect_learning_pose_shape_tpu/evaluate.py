@@ -318,6 +318,10 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--preset", default="config4_full", choices=sorted(configs.PRESETS))
     ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    ap.add_argument(
+        "--step", type=int, default=None,
+        help="checkpoint step to score (default: latest)",
+    )
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument(
         "--dataset",
@@ -365,7 +369,8 @@ def main():
 
     cfg = configs.PRESETS[args.preset]
     params, state, consts = load_model(
-        cfg, args.checkpoint, assets_lib.load_asset(), ema=args.ema
+        cfg, args.checkpoint, assets_lib.load_asset(), ema=args.ema,
+        step=args.step,
     )
     qparams = None
     if args.int8 or args.qparams:

@@ -35,6 +35,7 @@ def load_model(
     checkpoint_dir: Optional[str] = None,
     asset=None,
     ema: bool = False,
+    step: Optional[int] = None,
 ):
     """Returns (params, state, consts). Restores the latest checkpoint if given.
 
@@ -44,7 +45,10 @@ def load_model(
 
     ema=True serves the Polyak-averaged shadow params instead of the raw
     ones (TrainConfig.ema_decay); refused loudly when the checkpoint was
-    written by a run without EMA.
+    written by a run without EMA. step selects a specific checkpoint
+    (default: latest) — quality here is horizon-dependent (BASELINE.md
+    shape-prior corollary), so serving a mid-run checkpoint is a real
+    deployment choice, not an afterthought.
     """
     from indirect_learning_pose_shape_tpu import train
 
@@ -57,7 +61,7 @@ def load_model(
         want = {"params": abstract["params"], "model_state": abstract["model_state"]}
         if ema:
             want["ema_params"] = abstract["params"]
-        restored = ckpt.restore_partial(want)
+        restored = ckpt.restore_partial(want, step=step)
         ckpt.close()
         params = restored["ema_params"] if ema else restored["params"]
         if ema and params is None:

@@ -305,3 +305,24 @@ def test_ema_checkpointed_and_served(tiny_asset, tmp_path):
     train.fit(cfg0, asset=tiny_asset, num_steps=2)
     with pytest.raises((ValueError, KeyError)):
         load_model(cfg0, ck0, tiny_asset, ema=True)
+
+
+def test_load_model_step_selection(tiny_asset, tmp_path):
+    """load_model(step=N) serves a specific checkpoint, not just the latest."""
+    from indirect_learning_pose_shape_tpu.predict import load_model
+
+    ck = str(tmp_path / "ck_steps")
+    cfg = tiny_train_cfg(checkpoint_every=2, checkpoint_dir=ck)
+    train.fit(cfg, asset=tiny_asset, num_steps=4)
+    p2, _, _ = load_model(cfg, ck, tiny_asset, step=2)
+    p4, _, _ = load_model(cfg, ck, tiny_asset)  # latest = 4
+    diff = max(
+        jax.tree.leaves(
+            jax.tree.map(
+                lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+                p2,
+                p4,
+            )
+        )
+    )
+    assert diff > 0.0

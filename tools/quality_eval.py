@@ -38,6 +38,13 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--preset", default="config4_full")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--step",
+        type=int,
+        default=None,
+        help="score this checkpoint step instead of the latest (quality is "
+        "horizon-dependent; see BASELINE.md)",
+    )
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--seeds", type=int, nargs="+", default=list(PROTOCOL_SEEDS))
     ap.add_argument(
@@ -70,7 +77,8 @@ def main():
 
     cfg = configs.PRESETS[args.preset]
     params, state, consts = load_model(
-        cfg, args.checkpoint, assets_lib.load_asset(), ema=args.ema
+        cfg, args.checkpoint, assets_lib.load_asset(), ema=args.ema,
+        step=args.step,
     )
 
     qparams = None
@@ -104,6 +112,7 @@ def main():
     out = {
         "preset": args.preset,
         "checkpoint": args.checkpoint,
+        "step": args.step,
         "seeds": args.seeds,
         "batches": args.batches,
         "int8": args.int8,
