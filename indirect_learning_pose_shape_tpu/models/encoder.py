@@ -42,6 +42,23 @@ class EncoderConfig:
     # the mask path remains as the measured-and-rejected alternative
     # (gradient-equivalent on tie-free input, tested).
     maxpool_grad: str = "xla"
+    # Block stride-2 convs: 'strided' = plain strided conv (XLA lowers the
+    # backward-wrt-input to an input-dilated transposed conv), 's2d' = the
+    # stem's space-to-depth trick generalised: 3x3/2 becomes pad + 2x2-block
+    # s2d + 2x2/1 conv over 4x channels, 1x1/2 becomes strided-slice + 1x1/1
+    # (whose backward is a dense pad, not a dilated conv). Identical math —
+    # weights stay in their logical [k,k,Cin,Cout] layout and are rearranged
+    # inside the forward, so checkpoints/pretrained imports are unaffected
+    # (equivalence tested in test_network.py). Odd spatial sizes fall back
+    # to 'strided' per conv, like the stem does.
+    # MEASURED: unlike the 3-channel stem (where s2d is the encoder's
+    # single biggest win), s2d on the wide block convs is SLOWER on the
+    # profiled chip — config-4 step 12.34 → 13.26 ms (b32), 35.75 → 38.00
+    # (b128), flagship 21.62 → 23.21: at 64+ input channels the MXU is
+    # already occupancy-saturated and the rewrite only adds the s2d
+    # reshuffle traffic. Default stays 'strided'; the s2d form remains the
+    # measured-and-rejected alternative (see maxpool_grad for the pattern).
+    stride2_impl: str = "strided"
     # Eval-path conv+BN folding: at inference BN is a per-channel affine of
     # frozen running stats, so it folds into the preceding conv's weights
     # (w *= scale/sqrt(var+eps), plus a bias term) — one fewer full
@@ -87,6 +104,62 @@ def _conv(x, w, stride=1):
         padding=((p[0], p[0]), (p[1], p[1])),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def _conv_s2d_3x3_s2(x, w):
+    """3x3/2 conv (symmetric pad 1) as s2d + 2x2/1 conv — identical math.
+
+    y[i,j] = Σ_{u,v∈0..2} w[u,v]·x[2i+u−1, 2j+v−1]. Zero-pad the kernel
+    3→4 at the front (w4[u4]=w[u4−1]) and split by parity, u4=2u'+a:
+    y[i] = Σ_{u',a} w4[2u'+a]·x[2(i+u'−1)+a], so with X[i',(a,·)] =
+    xp[2i'+a] over xp = x padded (lo=2, hi=0) this is a 2x2 VALID conv
+    over 4·Cin channels. Same motivation as the stem rewrite above: the
+    strided form's backward-wrt-input is an input-dilated conv that the
+    MXU runs at a fraction of peak; this form's backward is two dense
+    stride-1 convs. Requires even H, W (caller falls back otherwise).
+    """
+    B, H, W, Cin = x.shape
+    C = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (2, 0), (2, 0), (0, 0)))
+    Hp, Wp = xp.shape[1] // 2, xp.shape[2] // 2
+    X = (
+        xp.reshape(B, Hp, 2, Wp, 2, Cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, Hp, Wp, 4 * Cin)
+    )
+    w4 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    W4 = (
+        w4.reshape(2, 2, 2, 2, Cin, C)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(2, 2, 4 * Cin, C)
+    )
+    return jax.lax.conv_general_dilated(
+        X,
+        W4.astype(X.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _conv2(x, w, stride: int, impl: str):
+    """Stride-dispatching conv: the s2d rewrites apply only where they help.
+
+    1x1/2 under 's2d' drops the dead input rows/cols BEFORE the matmul
+    (y[i,j] = w·x[2i,2j] exactly); its backward is a dense zero-pad.
+    """
+    if stride == 2 and impl == "s2d" and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        if w.shape[0] == 3:
+            return _conv_s2d_3x3_s2(x, w)
+        if w.shape[0] == 1:
+            return jax.lax.conv_general_dilated(
+                x[:, ::2, ::2, :],
+                w.astype(x.dtype),
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+    return _conv(x, w, stride)
 
 
 def _stem_conv_s2d(x, w):
@@ -291,7 +364,7 @@ def _block_apply(x, p, s, cfg: EncoderConfig, stride: int, train: bool):
     def cb(x, wname, bnname, st):
         return _conv_bn(
             x, p[wname], p[bnname], s[bnname], cfg, train,
-            lambda x, w: _conv(x, w, st),
+            lambda x, w: _conv2(x, w, st, cfg.stride2_impl),
         )
 
     if "proj" in p:

@@ -58,6 +58,49 @@ def test_encoder_resnet50_bottleneck(rng):
     assert feat.shape == (1, cfg.feature_dim) and cfg.feature_dim == 8 * 8 * 4
 
 
+def test_stride2_s2d_matches_strided(rng):
+    """The s2d rewrite of stride-2 convs is the same function as strided.
+
+    Checked at the op level where f32 roundoff is the only noise source:
+    forward and input/weight gradients for both the 3x3 and 1x1 stride-2
+    forms. (A full-encoder train-mode gradient comparison is NOT a valid
+    equivalence test at f32 — the ~1e-6 reassociation roundoff gets
+    chaotically amplified through batch-stat BN and ReLU gate flips into
+    percent-scale gradient differences; the same comparison in f64 agrees
+    to ~1e-12.) Weights stay in their logical [k,k,Cin,Cout] layout, so
+    checkpoint/pretrained compatibility is structural.
+    """
+    for h, k, cin, cout in ((8, 3, 16, 24), (2, 3, 16, 8), (8, 1, 16, 24)):
+        x = jnp.asarray(rng.randn(2, h, h, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, k, cin, cout).astype(np.float32) * 0.1)
+        a = enc._conv(x, w, 2)
+        b = enc._conv2(x, w, 2, "s2d")
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=5e-5
+        )
+        ga = jax.grad(lambda x, w: jnp.sum(enc._conv(x, w, 2) ** 2), (0, 1))(x, w)
+        gb = jax.grad(lambda x, w: jnp.sum(enc._conv2(x, w, 2, "s2d") ** 2), (0, 1))(x, w)
+        for la, lb in zip(ga, gb):
+            scale = float(jnp.abs(la).max()) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(la) / scale, np.asarray(lb) / scale, rtol=0, atol=1e-5
+            )
+
+    # Full-encoder eval-mode forward (running-stat BN: no chaotic
+    # amplification) and the odd-size per-conv strided fallback.
+    cfg_a = enc.EncoderConfig(depth=18, width=16, compute_dtype=jnp.float32)
+    cfg_b = dataclasses.replace(cfg_a, stride2_impl="s2d")
+    params, state = enc.encoder_init(jax.random.PRNGKey(3), cfg_a)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    fa, _ = enc.encoder_apply(params, state, x, cfg_a, train=False)
+    fb, _ = enc.encoder_apply(params, state, x, cfg_b, train=False)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), rtol=0, atol=2e-5)
+    x_odd = jnp.asarray(rng.randn(1, 27, 27, 3).astype(np.float32))
+    fo, _ = enc.encoder_apply(params, state, x_odd, cfg_b, train=False)
+    assert fo.shape == (1, cfg_b.feature_dim)
+
+
 def test_ief_starts_at_mean_theta():
     cfg = ief_mod.IEFConfig(hidden_dims=(64,), num_joints=4, num_betas=4, num_cam=3)
     mean = np.arange(cfg.theta_dim, dtype=np.float32) * 0.1
