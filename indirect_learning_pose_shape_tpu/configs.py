@@ -104,8 +104,16 @@ def _model(image_size: int, depth: int = 18, num_parts: int = 24) -> ModelConfig
         # 3-pass f32 ('high', the library default kept for golden tests) at
         # ~9% faster steps — the soft render's own σ=2 blur dwarfs the
         # ~9e-3 score rounding.
+        # train_score_dtype: the training render's [B,C,H,W] score tensor is
+        # stored bf16 (written once, read twice per step; both loss
+        # reductions accumulate f32) — one extra ~8e-3-relative rounding on
+        # the same scale the matmul A/B validated. f32 remains the
+        # RasterConfig default for golden tests.
         raster=RasterConfig(
-            image_size=image_size, num_parts=num_parts, matmul_precision="default"
+            image_size=image_size,
+            num_parts=num_parts,
+            matmul_precision="default",
+            train_score_dtype="bfloat16",
         ),
     )
 

@@ -69,7 +69,10 @@ def part_seg_ce_scores(
     labels = target_labels.reshape(B, P)
     classes = jnp.arange(1, C + 1, dtype=labels.dtype)
     mask = (labels[:, None, :] == classes[:, None]).astype(score_cp.dtype)
-    picked = jnp.sum(mask * score_cp, axis=1).astype(jnp.float32)  # [B, P]
+    # dtype=f32 accumulation makes this exact even for bf16 scores
+    # (RasterConfig.train_score_dtype): mask is one-hot over classes, so
+    # the "sum" selects a single score per pixel — no accumulation error.
+    picked = jnp.sum(mask * score_cp, axis=1, dtype=jnp.float32)  # [B, P]
     picked = jnp.where(labels == 0, bg_gamma, picked)
     ce = jnp.log(bg_gamma + s_total) - jnp.log(jnp.clip(picked, _EPS, None))
     return jnp.mean(ce)

@@ -62,6 +62,16 @@ class RasterConfig:
     # score error 5e-5 — far below the loss-relevant scale — at ~2/3 the
     # raster cost), 'default' = 1 bf16 pass (~9e-3 error; fastest).
     matmul_precision: str = "high"
+    # Storage dtype of the TRAINING-path score tensor (soft_rasterize_train,
+    # separable impl only): 'float32' | 'bfloat16'. The [B,C,H,W] score is
+    # the largest training tensor (805 MB at B=128, 256², 24 parts) and is
+    # written once + read twice (CE label pick, silhouette class-sum);
+    # bf16 halves all three passes. Both reductions still accumulate in
+    # f32, so the only loss is one ~8e-3-relative rounding of each score —
+    # the same scale the matmul_precision='default' A/B already validated
+    # (docs/DESIGN.md). Presets train with 'bfloat16'; the default stays
+    # exact f32 for golden tests.
+    train_score_dtype: str = "float32"
 
 
 @functools.partial(
@@ -200,11 +210,14 @@ def _raster_scores_separable(
         "default": jax.lax.Precision.DEFAULT,
     }[cfg.matmul_precision]
     if out_dtype is not None:
-        # Data-only consumers (target generation: threshold/argmax/palette)
-        # can take the score in bf16 — halves the [B,C,H,W] HBM footprint
-        # and every downstream read. Factors cast in, accumulation stays
-        # f32 on the MXU, output rounds once to bf16 (~1e-2 relative, the
-        # same scale the 'default'-precision A/B already validated).
+        # Narrow-dtype scores: halves the [B,C,H,W] HBM footprint and every
+        # downstream read. Used by target generation (threshold/argmax/
+        # palette are data-only) AND, via RasterConfig.train_score_dtype,
+        # by the differentiated training render — losses accumulate their
+        # reductions in f32 and the VJP of the casts is just a cast back.
+        # Factors cast in, accumulation stays f32 on the MXU, output
+        # rounds once to bf16 (~1e-2 relative, the same scale the
+        # 'default'-precision A/B already validated).
         fy, fx = fy.astype(out_dtype), fx.astype(out_dtype)
         score = jnp.einsum(
             "bcsh,bcsw->bchw", fy, fx, preferred_element_type=out_dtype
@@ -278,6 +291,35 @@ def raster_scores(
     return jnp.moveaxis(score, 0, 1).reshape(B, P, C)
 
 
+def raster_scores_cf(
+    verts2d: jax.Array,
+    layout: PartLayout,
+    cfg: RasterConfig,
+    impl: str = "auto",
+    constrain=None,
+    out_dtype=None,
+) -> jax.Array:
+    """Per-class scores, channel-FIRST 4-D: [B, C, H, W].
+
+    The separable impl natively produces this layout; returning it directly
+    (instead of raster_scores' channel-last [B, H*W, C]) lets data-only
+    consumers reduce over the class axis with NO relayout. The [B,C,H,W]
+    tensor is tiled over (H, W); merging H·W and moving C minor-most — what
+    `_scores_to_bpc` forces — is a physical re-tiling pass XLA cannot elide
+    (measured 1.23 ms of pure data movement at B=128, 256², bf16).
+    Non-separable impls fall back to a transpose of the channel-last form.
+    """
+    if impl in ("auto", "separable"):
+        return _raster_scores_separable(
+            verts2d, layout, cfg, constrain=constrain, out_dtype=out_dtype
+        )
+    bpc = raster_scores(verts2d, layout, cfg, impl=impl)
+    B, _, C = bpc.shape
+    size = cfg.image_size
+    out = jnp.moveaxis(bpc, 2, 1).reshape(B, C, size, size)
+    return out.astype(out_dtype) if out_dtype is not None else out
+
+
 def soft_rasterize(
     verts2d: jax.Array,
     layout: PartLayout,
@@ -326,21 +368,26 @@ def soft_rasterize_train(
     channel-last probs layout forced (measured 0.6 ms/step at 256² B=32).
 
     Returns:
-      score_cp   [B, C, H*W]  raw per-class scores (channel-first)
-      s_total    [B, H*W]     Σ_c score (f32)
+      score_cp   [B, C, H*W]  raw per-class scores (channel-first; stored in
+                              cfg.train_score_dtype on the separable impl —
+                              presets use bf16, halving its three HBM passes)
+      s_total    [B, H*W]     Σ_c score (always f32-accumulated)
       silhouette [B, H, W]    soft foreground probability (as soft_rasterize)
     """
     B = verts2d.shape[0]
     size, C = cfg.image_size, cfg.num_parts
     if impl in ("auto", "separable"):
+        out_dtype = (
+            jnp.bfloat16 if cfg.train_score_dtype == "bfloat16" else None
+        )
         score_cp = _raster_scores_separable(
-            verts2d, layout, cfg, constrain=constrain
+            verts2d, layout, cfg, constrain=constrain, out_dtype=out_dtype
         ).reshape(B, C, size * size)
     else:
         score_cp = jnp.moveaxis(
             raster_scores(verts2d, layout, cfg, impl=impl), 1, 2
         )
-    s_total = jnp.sum(score_cp, axis=1)
+    s_total = jnp.sum(score_cp, axis=1, dtype=jnp.float32)
     sil = (s_total / (cfg.bg_gamma + s_total)).reshape(B, size, size)
     return {"score_cp": score_cp, "s_total": s_total, "silhouette": sil}
 

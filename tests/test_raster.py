@@ -152,3 +152,72 @@ def test_raster_31_parts(rng):
     out = raster.soft_rasterize(jnp.asarray(verts2d), layout, cfg)
     assert out["probs"].shape == (1, 64, 64, 32)
     np.testing.assert_allclose(np.asarray(out["probs"]).sum(-1), 1.0, atol=1e-5)
+
+
+def test_raster_scores_cf_matches_channel_last(rng):
+    """raster_scores_cf ([B,C,H,W]) is a pure layout change of raster_scores
+    ([B,H*W,C]) on every impl, and honors out_dtype."""
+    import dataclasses
+
+    verts2d, _, layout, cfg = _setup(rng)
+    cfg = dataclasses.replace(cfg, matmul_precision="highest")
+    v = jnp.asarray(verts2d)
+    B, size, C = verts2d.shape[0], cfg.image_size, cfg.num_parts
+    for impl in ("separable", "xla"):
+        cf = raster.raster_scores_cf(v, layout, cfg, impl=impl)
+        cl = raster.raster_scores(v, layout, cfg, impl=impl)
+        assert cf.shape == (B, C, size, size)
+        np.testing.assert_allclose(
+            np.asarray(cf),
+            np.moveaxis(np.asarray(cl), 2, 1).reshape(B, C, size, size),
+            atol=1e-6,
+        )
+    bf = raster.raster_scores_cf(v, layout, cfg, out_dtype=jnp.bfloat16)
+    assert bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(bf, np.float32),
+        np.asarray(raster.raster_scores_cf(v, layout, cfg)),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_train_score_dtype_bf16_close_to_f32(rng):
+    """RasterConfig.train_score_dtype='bfloat16' (the preset setting) changes
+    soft_rasterize_train's score storage only: values within bf16 rounding of
+    the f32 path, s_total/silhouette still f32, and gradients through the
+    score-form CE stay within ~1% relative."""
+    import dataclasses
+
+    from indirect_learning_pose_shape_tpu import losses
+
+    verts2d, _, layout, cfg = _setup(rng)
+    v = jnp.asarray(verts2d)
+    cfg_bf = dataclasses.replace(cfg, train_score_dtype="bfloat16")
+    labels = jnp.asarray(
+        np.random.RandomState(0).randint(
+            0, cfg.num_parts + 1, (verts2d.shape[0], cfg.image_size, cfg.image_size)
+        ).astype(np.int32)
+    )
+
+    def ce(vv, c):
+        out = raster.soft_rasterize_train(vv, layout, c)
+        return losses.part_seg_ce_scores(
+            out["score_cp"], out["s_total"], c.bg_gamma, labels
+        )
+
+    out_bf = raster.soft_rasterize_train(v, layout, cfg_bf)
+    out_f = raster.soft_rasterize_train(v, layout, cfg)
+    assert out_bf["score_cp"].dtype == jnp.bfloat16
+    assert out_bf["s_total"].dtype == jnp.float32
+    assert out_bf["silhouette"].dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out_bf["score_cp"], np.float32),
+        np.asarray(out_f["score_cp"]),
+        atol=2e-2, rtol=2e-2,
+    )
+    va, ga = jax.value_and_grad(ce)(v, cfg)
+    vb, gb = jax.value_and_grad(ce)(v, cfg_bf)
+    np.testing.assert_allclose(float(va), float(vb), rtol=2e-2)
+    ga, gb = np.asarray(ga), np.asarray(gb)
+    denom = np.abs(ga).max()
+    np.testing.assert_allclose(gb / denom, ga / denom, atol=2e-2)
