@@ -28,7 +28,7 @@ class ModelConfig:
     encoder: enc.EncoderConfig = enc.EncoderConfig()
     ief: ief_mod.IEFConfig = ief_mod.IEFConfig()
     raster: raster.RasterConfig = raster.RasterConfig()
-    smpl_impl: str = "auto"  # 'xla' | 'pallas' | 'auto' (pallas on TPU)
+    smpl_impl: str = "auto"  # 'xla' | 'pallas' | 'auto' (= xla; see smpl.py)
     raster_impl: str = "auto"  # 'separable' | 'xla' | 'pallas' | 'auto' (=separable)
 
 

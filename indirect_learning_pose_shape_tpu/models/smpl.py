@@ -255,7 +255,15 @@ def smpl_forward_rotmats(
     and 6D (rot6d_to_rotmat) parameterizations both land here.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # 'auto' = 'xla' since late round 3: the fused Pallas blendshape+LBS
+        # kernel — a round-1 win when measured against the then-current XLA
+        # formulation — is now SLOWER than plain XLA einsums everywhere it
+        # was re-measured on the v5e (standalone fwd+proj b64: 0.79 vs
+        # 0.25 ms; fused config-4 step b128: 30.9 vs 28.4 ms; flagship b32:
+        # 19.95 vs 19.50): the geometry contractions live on the MXU in the
+        # XLA path but on the VPU in the kernel. The kernel stays available
+        # (impl='pallas'), golden-tested, as the recorded alternative.
+        impl = "xla"
     B = rotmats.shape[0]
     J = consts.num_joints
     eye = jnp.eye(3, dtype=rotmats.dtype)
