@@ -76,7 +76,7 @@ class RasterConfig:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["perm", "valid"],
+    data_fields=["perm", "valid", "inv"],
     meta_fields=["num_parts", "seg_size"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -85,11 +85,15 @@ class PartLayout:
 
     perm  [C*S] int32: vertex index feeding slot i (padding repeats index 0),
     valid [C*S] float32: 1 for real slots, 0 for padding,
+    inv   [V]   int32: the unique valid slot holding vertex v (the layout is
+                a padded permutation — parts partition vertices — so this
+                inverse exists and makes the gather's VJP another gather),
     seg_size S: per-class segment length (padded, lane-aligned).
     """
 
     perm: jax.Array
     valid: jax.Array
+    inv: jax.Array
     num_parts: int
     seg_size: int
 
@@ -127,18 +131,54 @@ def build_part_layout(
             idx = idx[np.argsort(centred @ vt[0])]
         perm[c, : len(idx)] = idx
         valid[c, : len(idx)] = 1.0
+    flat_perm = perm.reshape(-1)
+    flat_valid = valid.reshape(-1)
+    inv = np.zeros(len(labels), dtype=np.int32)
+    inv[flat_perm[flat_valid > 0]] = np.nonzero(flat_valid > 0)[0]
     return PartLayout(
-        perm=jnp.asarray(perm.reshape(-1)),
-        valid=jnp.asarray(valid.reshape(-1)),
+        perm=jnp.asarray(flat_perm),
+        valid=jnp.asarray(flat_valid),
+        inv=jnp.asarray(inv),
         num_parts=num_parts,
         seg_size=seg,
     )
 
 
+@jax.custom_vjp
+def _gather_sorted(verts2d, perm, valid, inv):
+    g = jnp.take(verts2d, perm, axis=1)
+    return jnp.where(valid[None, :, None] > 0, g, _SENTINEL)
+
+
+def _gather_sorted_fwd(verts2d, perm, valid, inv):
+    return _gather_sorted(verts2d, perm, valid, inv), (perm.shape, valid, inv)
+
+
+def _gather_sorted_bwd(res, dy):
+    perm_shape, valid, inv = res
+    # The layout is a padded permutation (each vertex owns exactly one valid
+    # slot), so the gather's transpose is ANOTHER gather by the inverse slot
+    # map — not the scatter-add XLA's autodiff emits, which was the largest
+    # non-encoder backward op in the round-3 step profile (docs/DESIGN.md).
+    # Padding slots (valid=0, perm repeating vertex 0) are masked before the
+    # inverse pick, matching the forward `where`'s gradient gate exactly.
+    dm = dy * valid[None, :, None].astype(dy.dtype)
+    dx = jnp.take(dm, inv, axis=1)
+    f0 = jax.dtypes.float0
+    return (
+        dx,
+        np.zeros(perm_shape, dtype=f0),
+        jnp.zeros_like(valid),
+        np.zeros(inv.shape, dtype=f0),
+    )
+
+
+_gather_sorted.defvjp(_gather_sorted_fwd, _gather_sorted_bwd)
+
+
 def gather_class_sorted(verts2d: jax.Array, layout: PartLayout) -> jax.Array:
     """[B, V, 2] -> [B, C*S, 2] class-sorted with sentinel padding."""
-    g = jnp.take(verts2d, layout.perm, axis=1)
-    return jnp.where(layout.valid[None, :, None] > 0, g, _SENTINEL)
+    return _gather_sorted(verts2d, layout.perm, layout.valid, layout.inv)
 
 
 def pixel_grid(image_size: int, dtype=jnp.float32) -> jax.Array:

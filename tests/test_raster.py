@@ -129,6 +129,35 @@ def test_separable_matches_xla_forward_and_grad(rng):
     np.testing.assert_allclose(ga, gb, atol=1e-5)
 
 
+def test_gather_class_sorted_inverse_vjp(rng):
+    """The custom inverse-permutation VJP == plain autodiff, bit-exact.
+
+    gather_class_sorted's backward is a gather by layout.inv instead of the
+    scatter-add XLA autodiff emits (docs/DESIGN.md round-3 profile); both
+    move each cotangent element to exactly one place, so the results must be
+    EQUAL, not just close. Also pins the inverse-map invariants."""
+    verts2d, _, layout, _ = _setup(rng, batch=2, num_verts=37)
+    V = verts2d.shape[1]
+    perm = np.asarray(layout.perm)
+    inv = np.asarray(layout.inv)
+    valid = np.asarray(layout.valid)
+    assert np.array_equal(perm[inv], np.arange(V))
+    assert np.all(valid[inv] == 1.0)
+
+    def plain(v):
+        g = jnp.take(v, layout.perm, axis=1)
+        return jnp.where(layout.valid[None, :, None] > 0, g, raster._SENTINEL)
+
+    v = jnp.asarray(verts2d)
+    dy = jnp.asarray(rng.randn(*plain(v).shape).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(raster.gather_class_sorted(v, layout)), np.asarray(plain(v))
+    )
+    g_new = jax.grad(lambda x: jnp.sum(raster.gather_class_sorted(x, layout) * dy))(v)
+    g_old = jax.grad(lambda x: jnp.sum(plain(x) * dy))(v)
+    np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_old))
+
+
 def test_separable_sentinel_padding_invisible(rng):
     """Padded (sentinel) slots contribute exactly zero in the separable path."""
     verts2d, labels, layout, cfg = _setup(rng, num_verts=37)  # ragged -> padding
