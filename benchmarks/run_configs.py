@@ -92,6 +92,28 @@ def config2_smpl_batch(asset, steps):
     dt = _timeit(jax.jit(smpl_proj), pose, betas, steps=steps)
     _emit("config2_smpl_batch64", 64 / dt, "SMPL fwd images/sec")
 
+    # Device-rate variant: the op is sub-millisecond, so one-dispatch-per-
+    # step timing above measures the tunnel control plane (~1-3 ms/dispatch,
+    # session-dependent) rather than the chip. K data-chained forwards
+    # inside ONE jit (lax.scan; each iteration's pose depends on the
+    # previous projection, so nothing collapses) time the op itself.
+    K = 50
+
+    def chained(p, b):
+        def body(pp, _):
+            o = smpl_proj(pp, b)
+            return pp + 1e-9 * jnp.mean(o), jnp.mean(o)
+
+        _, ys = jax.lax.scan(body, p, None, length=K)
+        return ys
+
+    dt_k = _timeit(jax.jit(chained), pose, betas, steps=max(2, steps // 5)) / K
+    _emit(
+        "config2_smpl_batch64_device",
+        64 / dt_k,
+        "SMPL fwd images/sec (chained on-device)",
+    )
+
 
 def config3_render(asset, steps):
     """Differentiable render 256² + IoU/BCE loss fwd+bwd, batch 32."""
