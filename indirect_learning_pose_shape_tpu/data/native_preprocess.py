@@ -21,10 +21,24 @@ _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libilps_preprocess.so")
+# Search order: explicit override -> the .so packaged next to this module
+# (wheels / installed trees; see setup.py's build_py hook) -> the dev
+# checkout's native/ (auto-built with make below).
+_LIB_CANDIDATES = [
+    os.environ.get("ILPS_NATIVE_LIB") or "",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "libilps_preprocess.so"),
+    os.path.join(_NATIVE_DIR, "libilps_preprocess.so"),
+]
 
 _lib: Optional[ctypes.CDLL] = None
 USE_NATIVE = False
+
+
+def _find_lib() -> Optional[str]:
+    for p in _LIB_CANDIDATES:
+        if p and os.path.exists(p):
+            return p
+    return None
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -33,7 +47,8 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if os.environ.get("ILPS_DISABLE_NATIVE"):
         return None
-    if not os.path.exists(_LIB_PATH):
+    path = _find_lib()
+    if path is None and os.path.isdir(_NATIVE_DIR):
         try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR],
@@ -43,8 +58,11 @@ def _load() -> Optional[ctypes.CDLL]:
             )
         except Exception:
             return None
+        path = _find_lib()
+    if path is None:
+        return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(path)
     except OSError:
         return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
