@@ -79,6 +79,30 @@ def test_fit_dataset_runs_and_descends(tiny_asset, tmp_path):
     assert np.isfinite(terms["total"])
 
 
+def test_native_lib_search_order(tmp_path):
+    """Loader search: ILPS_NATIVE_LIB -> packaged-next-to-module -> native/.
+
+    Pins the packaging contract (setup.py copies the .so into the package;
+    installed trees have no repo-root native/): an explicit override wins,
+    and the packaged location is consulted before the dev checkout's."""
+    pkg_so = os.path.join(os.path.dirname(npp.__file__), "libilps_preprocess.so")
+    dev_so = os.path.join(npp._NATIVE_DIR, "libilps_preprocess.so")
+    override = tmp_path / "custom.so"
+    override.write_bytes(b"")
+    orig = npp._LIB_CANDIDATES[0]
+    try:
+        npp._LIB_CANDIDATES[0] = str(override)
+        assert npp._find_lib() == str(override)
+        npp._LIB_CANDIDATES[0] = ""
+        found = npp._find_lib()
+        if os.path.exists(pkg_so):
+            assert found == pkg_so
+        elif os.path.exists(dev_so):
+            assert found == dev_so
+    finally:
+        npp._LIB_CANDIDATES[0] = orig
+
+
 def test_native_matches_numpy_fallback(rng):
     imgs = [rng.randint(0, 255, (70 + 13 * i, 50 + 7 * i, 3)).astype(np.uint8) for i in range(3)]
     masks = [(rng.rand(*im.shape[:2]) > 0.6).astype(np.uint8) * (i + 1) for i, im in enumerate(imgs)]
