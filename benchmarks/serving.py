@@ -57,6 +57,18 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 32, 128])
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--preset", default="config4_full")
+    ap.add_argument(
+        "--chained",
+        type=int,
+        default=0,
+        metavar="K",
+        help="also measure on-device latency: K data-chained forwards "
+        "inside one jit (lax.scan; iteration i+1's input depends on "
+        "iteration i's output). Per-call dispatch timing of a ~1 ms op "
+        "through the remote-chip tunnel measures the ~1-3 ms/dispatch "
+        "control plane, not the chip — this is the device-rate view, the "
+        "number that matters for latency-critical serving on a local host.",
+    )
     args = ap.parse_args()
 
     from indirect_learning_pose_shape_tpu import configs
@@ -108,6 +120,40 @@ def main():
         sec_bf16 = _time_fn(bf16_fwd, (params, state, images), args.steps, 3, fence)
         sec_int8 = _time_fn(int8_fwd, (qparams, params["ief"], images), args.steps, 3, fence)
         sec_int8c = _time_fn(int8c_fwd, (qparams, params["ief"], images), args.steps, 3, fence)
+        chained = {}
+        if args.chained:
+            K = args.chained
+
+            def _chain(fwd, fwd_args):
+                def run(*a):
+                    def body(im, _):
+                        th = fwd(*a, im)
+                        # Value-neutral data dependency: the next input
+                        # reads this output, so the scan cannot collapse.
+                        return im + 1e-30 * jnp.mean(th), jnp.mean(th)
+
+                    _, ys = jax.lax.scan(body, images, None, length=K)
+                    return ys
+
+                f = jax.jit(run)
+                sec = _time_fn(
+                    f, fwd_args, max(2, args.steps // 10),
+                    2, lambda out: fetch_fence(out[0]),
+                )
+                return sec / K
+
+            chained = {
+                "bf16_device_ms": round(
+                    _chain(lambda p, s, im: bf16_fwd(p, s, im), (params, state)) * 1e3, 3
+                ),
+                "int8c_device_ms": round(
+                    _chain(
+                        lambda qp, ip, im: int8c_fwd(qp, ip, im),
+                        (qparams, params["ief"]),
+                    ) * 1e3, 3,
+                ),
+                "chained_k": K,
+            }
         row = {
             "batch": b,
             "backend": backend,
@@ -120,6 +166,7 @@ def main():
             "int8c_imgs_per_sec": round(b / sec_int8c, 1),
             "int8_speedup": round(sec_bf16 / sec_int8, 3),
             "int8c_speedup": round(sec_bf16 / sec_int8c, 3),
+            **chained,
         }
         results.append(row)
         print(json.dumps(row))
