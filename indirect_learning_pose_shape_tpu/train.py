@@ -766,6 +766,13 @@ def main():
         "IEF's Θ₀ (SURVEY.md §2.5); default is the neutral stand-in",
     )
     ap.add_argument(
+        "--ief-iters",
+        type=int,
+        default=None,
+        help="IEF iteration count T (SURVEY.md §0.1 item 4 leaves the "
+        "reference's exact T open; default 3, ablated in BASELINE.md)",
+    )
+    ap.add_argument(
         "--ema-decay",
         type=float,
         default=None,
@@ -841,6 +848,14 @@ def main():
             cfg.model,
             image_size=args.image_size,
             raster=dc.replace(cfg.model.raster, image_size=args.image_size),
+        )
+    if args.ief_iters is not None:
+        if args.ief_iters < 1:
+            ap.error("--ief-iters must be >= 1")
+        base_model = updates.get("model", cfg.model)
+        updates["model"] = dataclasses.replace(
+            base_model,
+            ief=dataclasses.replace(base_model.ief, num_iterations=args.ief_iters),
         )
     cfg = dataclasses.replace(cfg, **updates)
 

@@ -67,6 +67,14 @@ def main():
         help="score the Polyak-averaged (EMA) params from the checkpoint "
         "(requires a run trained with ema_decay>0)",
     )
+    ap.add_argument(
+        "--ief-iters",
+        type=int,
+        default=None,
+        help="IEF iteration count T the checkpoint was trained with "
+        "(train --ief-iters); the IEF stack is shared across iterations so "
+        "params restore under any T, but scoring must run the trained T",
+    )
     args = ap.parse_args()
 
     import jax
@@ -76,6 +84,18 @@ def main():
     from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
 
     cfg = configs.PRESETS[args.preset]
+    if args.ief_iters is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                ief=dataclasses.replace(
+                    cfg.model.ief, num_iterations=args.ief_iters
+                ),
+            ),
+        )
     params, state, consts = load_model(
         cfg, args.checkpoint, assets_lib.load_asset(), ema=args.ema,
         step=args.step,
