@@ -773,6 +773,15 @@ def main():
         "reference's exact T open; default 3, ablated in BASELINE.md)",
     )
     ap.add_argument(
+        "--rot-format",
+        default=None,
+        choices=["axis_angle", "rot6d"],
+        help="pose rotation parameterization (IEFConfig.rotation_format): "
+        "'axis_angle' is reference-faithful, 'rot6d' the continuity "
+        "representation; A/B in BASELINE.md. Changes the IEF head width — "
+        "checkpoints only restore under the format they trained with",
+    )
+    ap.add_argument(
         "--ema-decay",
         type=float,
         default=None,
@@ -856,6 +865,14 @@ def main():
         updates["model"] = dataclasses.replace(
             base_model,
             ief=dataclasses.replace(base_model.ief, num_iterations=args.ief_iters),
+        )
+    if args.rot_format is not None:
+        base_model = updates.get("model", cfg.model)
+        updates["model"] = dataclasses.replace(
+            base_model,
+            ief=dataclasses.replace(
+                base_model.ief, rotation_format=args.rot_format
+            ),
         )
     cfg = dataclasses.replace(cfg, **updates)
 

@@ -75,6 +75,14 @@ def main():
         "(train --ief-iters); the IEF stack is shared across iterations so "
         "params restore under any T, but scoring must run the trained T",
     )
+    ap.add_argument(
+        "--rot-format",
+        default=None,
+        choices=["axis_angle", "rot6d"],
+        help="rotation parameterization the checkpoint was trained with "
+        "(train --rot-format); the IEF head width differs, so restore "
+        "requires the matching format",
+    )
     args = ap.parse_args()
 
     import jax
@@ -84,17 +92,16 @@ def main():
     from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
 
     cfg = configs.PRESETS[args.preset]
-    if args.ief_iters is not None:
+    if args.ief_iters is not None or args.rot_format is not None:
         import dataclasses
 
+        ief = cfg.model.ief
+        if args.ief_iters is not None:
+            ief = dataclasses.replace(ief, num_iterations=args.ief_iters)
+        if args.rot_format is not None:
+            ief = dataclasses.replace(ief, rotation_format=args.rot_format)
         cfg = dataclasses.replace(
-            cfg,
-            model=dataclasses.replace(
-                cfg.model,
-                ief=dataclasses.replace(
-                    cfg.model.ief, num_iterations=args.ief_iters
-                ),
-            ),
+            cfg, model=dataclasses.replace(cfg.model, ief=ief)
         )
     params, state, consts = load_model(
         cfg, args.checkpoint, assets_lib.load_asset(), ema=args.ema,
