@@ -151,6 +151,20 @@ CONFIG4_LARGE = TrainConfig(
     batch_size=32,
 )
 
+# ResNet-34 + rot6d: the measured quality/throughput sweet spot at the
+# synthetic-protocol training scale — ties config4_large on PVE/PA-MPJPE
+# and beats it on keypoint error and part mIoU while training 1.46x
+# faster (13.3 vs 19.3 ms/step at b32; BASELINE.md backbone row,
+# 2026-08-19). The R50 flagship remains the capacity headroom choice for
+# longer/harder training.
+CONFIG4_R34 = TrainConfig(
+    model=dataclasses.replace(
+        _model(256, depth=34),
+        ief=IEFConfig(rotation_format="rot6d"),
+    ),
+    batch_size=32,
+)
+
 # UP-S31-style 31-part body segmentation (the reference genre's finer label
 # space, SURVEY.md §2.3/§0.1 item 3): 31 foreground classes + background.
 # Vertex part ids beyond the SMPL-24 set come from the dataset's mask
@@ -177,6 +191,7 @@ PRESETS = {
     "config4_full": CONFIG4_FULL,
     "config4_b128": CONFIG4_B128,
     "config4_large": CONFIG4_LARGE,
+    "config4_r34": CONFIG4_R34,
     "config4_parts31": CONFIG4_PARTS31,
     "config5_data_parallel": CONFIG5_DATA_PARALLEL,
 }
