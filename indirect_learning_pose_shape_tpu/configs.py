@@ -34,6 +34,12 @@ class TrainConfig:
     num_steps: int = 1000
     seed: int = 0
     # Loss weights (SURVEY.md §2.7): render loss + keypoint loss + priors.
+    # The j3d/v3d/rotmat/betas_l2 terms are DIRECT 3D supervision (losses.py)
+    # — the genre's comparison axis against the reference's indirect-only
+    # training. They default to 0 (pure indirect, reference-faithful) and are
+    # enabled per run via --loss-weight j3d=... etc.; the synthetic stream
+    # then emits its 3D ground truth as targets (train.make_batch), and npz
+    # datasets may carry joints3d/verts3d/rotmats/betas keys.
     loss_weights: tuple = (
         ("sil_bce", 1.0),
         ("sil_iou", 1.0),
@@ -41,6 +47,10 @@ class TrainConfig:
         ("kp", 5.0),
         ("shape_reg", 1e-3),
         ("pose_reg", 1e-3),
+        ("j3d", 0.0),
+        ("v3d", 0.0),
+        ("rotmat", 0.0),
+        ("betas_l2", 0.0),
     )
     # Data parallelism (BASELINE.json:11): number of mesh devices; None = all.
     num_devices: int | None = None

@@ -62,12 +62,19 @@ def generate_batch(
     model_cfg: net.ModelConfig,
     cfg: SyntheticConfig = SyntheticConfig(),
     constrain=None,
+    include_3d: bool = False,
 ) -> dict[str, jax.Array]:
     """One fully on-device batch: images + render/keypoint targets + gt Θ.
 
     `constrain` (parallel/render_sp.constrainer) row-shards the TARGET
     render over a ('data','render') mesh, so target generation scales with
     the prediction render instead of being computed replicated.
+
+    `include_3d` additionally returns the generator's 3D ground truth
+    (gt_joints3d / gt_verts / gt_rotmats) for DIRECT-supervision training
+    (losses.py j3d/v3d/rotmat terms). Off by default: the pure-indirect
+    paths then carry no extra HBM traffic on the two-dispatch (gen + step)
+    routes, and the fused single-graph route DCEs unread outputs anyway.
 
     Returns dict:
       image       [B, S, S, 3] float32 in [-1, 1]
@@ -76,6 +83,8 @@ def generate_batch(
       kp2d        [B, 19, 2]   pixel keypoints
       kp_vis      [B, 19]      visibility mask
       gt_pose / gt_betas / gt_cam — for recovery-error metrics only.
+      (+ gt_joints3d [B,J,3], gt_verts [B,V,3], gt_rotmats [B,J,3,3]
+       when include_3d)
     """
     k_theta, k_noise, k_vis = jax.random.split(key, 3)
     size = model_cfg.image_size
@@ -146,7 +155,7 @@ def generate_batch(
         in_crop & (jax.random.uniform(k_vis, kp2d.shape[:2]) < cfg.kp_visibility)
     ).astype(jnp.float32)
 
-    return {
+    out = {
         "image": image.astype(jnp.float32),
         "silhouette": silhouette,
         "part_labels": part_labels,
@@ -156,3 +165,11 @@ def generate_batch(
         "gt_betas": betas,
         "gt_cam": cam,
     }
+    if include_3d:
+        J = consts.smpl.num_joints
+        out["gt_joints3d"] = smpl_out["joints"]
+        out["gt_verts"] = smpl_out["verts"]
+        # The generator samples axis-angle; the rotation-matrix form is the
+        # representation-free target a rot6d head can be supervised with.
+        out["gt_rotmats"] = smpl_mod.batch_rodrigues(pose.reshape(batch, J, 3))
+    return out

@@ -99,6 +99,43 @@ def shape_reg(betas: jax.Array) -> jax.Array:
     return jnp.mean(jnp.sum(betas * betas, axis=-1))
 
 
+# --- Direct supervision (the genre's comparison axis) -----------------------
+#
+# The reference implements INDIRECT learning — silhouette/part render +
+# 2D keypoint losses only (SURVEY.md §2.7) — and the genre's papers compare
+# it against DIRECT supervision on the SMPL outputs themselves. These terms
+# make that comparison (and mixed training) a config choice: all default to
+# weight 0, so the shipped presets remain reference-faithful pure-indirect.
+# They are parameterization-independent (3D joints / vertices / rotation
+# matrices), so they apply equally to axis-angle and rot6d heads.
+
+
+def joints3d_l2(pred_joints: jax.Array, target_joints: jax.Array) -> jax.Array:
+    """Mean squared 3D joint error in model space. [B, J, 3] each."""
+    return jnp.mean(jnp.sum((pred_joints - target_joints) ** 2, axis=-1))
+
+
+def verts3d_l2(pred_verts: jax.Array, target_verts: jax.Array) -> jax.Array:
+    """Mean squared 3D vertex error in model space. [B, V, 3] each."""
+    return jnp.mean(jnp.sum((pred_verts - target_verts) ** 2, axis=-1))
+
+
+def rotmat_frob(pred_rotmats: jax.Array, target_rotmats: jax.Array) -> jax.Array:
+    """Mean squared Frobenius distance between per-joint rotation matrices.
+
+    [B, J, 3, 3] each. ‖R₁−R₂‖²_F = 4·sin²(geodesic/2)·… — monotone in the
+    geodesic angle, smooth everywhere (no acos), and representation-free:
+    the same target supervises an axis-angle or a rot6d head.
+    """
+    d = pred_rotmats - target_rotmats
+    return jnp.mean(jnp.sum(d * d, axis=(-2, -1)))
+
+
+def betas_l2(pred_betas: jax.Array, target_betas: jax.Array) -> jax.Array:
+    """Mean squared shape-coefficient error. [B, 10] each."""
+    return jnp.mean(jnp.sum((pred_betas - target_betas) ** 2, axis=-1))
+
+
 def pose_reg(pose_prior: jax.Array) -> jax.Array:
     """L2 prior on the body-pose deviation vector (global joint excluded).
 
@@ -124,7 +161,11 @@ def total_loss(
     targets: silhouette [B,H,W] and/or part_labels [B,H,W] int,
              kp2d [B,K,2], kp_vis [B,K]
     weights: keys among {'sil_bce','sil_iou','part_ce','kp','shape_reg',
-             'pose_reg'}; zero/absent terms are skipped at trace time.
+             'pose_reg'} (indirect, the reference's set) and
+             {'j3d','v3d','rotmat','betas_l2'} (direct 3D supervision, all
+             default 0 — targets then need joints3d [B,J,3] / verts3d
+             [B,V,3] / rotmats [B,J,3,3] / betas [B,10]); zero/absent terms
+             are skipped at trace time.
     """
     terms: dict[str, jax.Array] = {}
     if weights.get("sil_bce", 0.0):
@@ -149,6 +190,16 @@ def total_loss(
         terms["shape_reg"] = shape_reg(outputs["betas"])
     if weights.get("pose_reg", 0.0):
         terms["pose_reg"] = pose_reg(outputs.get("pose_prior", outputs["pose"]))
+    # Direct supervision (targets present only when the dataset carries 3D
+    # ground truth — the synthetic stream, or an npz with 3D labels).
+    if weights.get("j3d", 0.0):
+        terms["j3d"] = joints3d_l2(outputs["joints"], targets["joints3d"])
+    if weights.get("v3d", 0.0):
+        terms["v3d"] = verts3d_l2(outputs["verts"], targets["verts3d"])
+    if weights.get("rotmat", 0.0):
+        terms["rotmat"] = rotmat_frob(outputs["rotmats"], targets["rotmats"])
+    if weights.get("betas_l2", 0.0):
+        terms["betas_l2"] = betas_l2(outputs["betas"], targets["betas"])
 
     total = jnp.asarray(0.0, jnp.float32)
     for name, value in terms.items():

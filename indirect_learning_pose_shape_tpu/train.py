@@ -156,6 +156,28 @@ def loss_and_metrics(
         "kp2d": batch["kp2d"],
         "kp_vis": batch["kp_vis"],
     }
+    # Direct-supervision targets (losses.py j3d/v3d/rotmat/betas_l2; all
+    # weights default 0 — pure indirect, the reference-faithful path). The
+    # synthetic stream names them gt_* (make_batch emits them only when a
+    # direct weight is live); disk npz datasets carry them under the bare
+    # names.
+    w = cfg.loss_weight_dict
+    for wkey, tkey, candidates in (
+        ("j3d", "joints3d", ("gt_joints3d", "joints3d")),
+        ("v3d", "verts3d", ("gt_verts", "verts3d")),
+        ("rotmat", "rotmats", ("gt_rotmats", "rotmats")),
+        ("betas_l2", "betas", ("gt_betas", "betas")),
+    ):
+        if w.get(wkey, 0.0):
+            src = next((c for c in candidates if c in batch), None)
+            if src is None:
+                raise KeyError(
+                    f"loss weight {wkey!r} is set but the batch carries no "
+                    f"{candidates} target — direct supervision needs a data "
+                    "source with 3D ground truth (the synthetic stream, or "
+                    "an npz dataset with that key)"
+                )
+            targets[tkey] = batch[src]
     with jax.named_scope("losses"):
         total, terms = losses.total_loss(
             outputs, targets, cfg.loss_weight_dict, cfg.model.image_size
@@ -205,9 +227,17 @@ def train_step(ts: TrainState, batch, consts, cfg: configs.TrainConfig, constrai
 def make_batch(rng, step, batch_size, consts, cfg: configs.TrainConfig, constrain=None):
     """On-device batch for `step`: key is step-indexed (deterministic resume)."""
     key = jax.random.fold_in(rng, step)
+    w = cfg.loss_weight_dict
+    include_3d = any(w.get(k, 0.0) for k in ("j3d", "v3d", "rotmat"))
     with jax.named_scope("datagen"):
         return synthetic.generate_batch(
-            key, batch_size, consts, cfg.model, cfg.synthetic, constrain=constrain
+            key,
+            batch_size,
+            consts,
+            cfg.model,
+            cfg.synthetic,
+            constrain=constrain,
+            include_3d=include_3d,
         )
 
 
@@ -357,7 +387,21 @@ def preprocess_raw_batch(
     from indirect_learning_pose_shape_tpu.data import preprocess as pp
 
     size = cfg.model.image_size
+    extra_3d = [k for k in ("joints3d", "verts3d", "rotmats", "betas") if k in raw]
     if cfg.augment.enabled and key is not None:
+        if extra_3d != [] and extra_3d != ["betas"]:
+            # Mirroring 2D data while keeping 3D labels fixed would silently
+            # corrupt direct supervision (the mirrored image's true joints
+            # are x-negated + L/R-swapped). β is mirror-invariant; the
+            # geometric labels are not, and their flip needs per-asset
+            # correspondence tables we refuse to guess (the same loud-refusal
+            # contract as kp_flip_perm / part_label_flip_perm).
+            raise ValueError(
+                f"augmentation (mirror) is enabled but the batch carries 3D "
+                f"targets {extra_3d}: flipping them is not implemented — "
+                "disable augmentation for direct-supervision training on "
+                "this dataset"
+            )
         k_flip, k_box = jax.random.split(key)
         raw = aug.mirror_raw_batch(
             raw, k_flip, cfg.augment, num_parts=cfg.model.raster.num_parts
@@ -370,13 +414,18 @@ def preprocess_raw_batch(
     masks = pp.crop_resize_mask(raw["masks"], bboxes, size)
     num_classes = cfg.model.raster.num_parts + 1
     part_labels = jnp.clip(masks.astype(jnp.int32), 0, num_classes - 1)
-    return {
+    batch = {
         "image": images,
         "silhouette": (masks > 0).astype(jnp.float32),
         "part_labels": part_labels,
         "kp2d": pp.transform_keypoints(raw["kp2d"], bboxes, size),
         "kp_vis": raw["kp_vis"],
     }
+    # 3D labels (direct/mixed supervision) are crop-invariant — model-space
+    # quantities untouched by the 2D crop/resize — and pass through as-is.
+    for k in extra_3d:
+        batch[k] = raw[k]
+    return batch
 
 
 def data_train_step(

@@ -122,3 +122,64 @@ def test_total_loss_score_form_matches(rng):
         targets, w, 8,
     )
     np.testing.assert_allclose(float(t1), float(t2), rtol=1e-6)
+
+
+def test_direct_losses_zero_at_target_positive_away(rng):
+    """Direct-supervision terms (j3d/v3d/rotmat/betas_l2) are proper
+    distances: zero at the target, positive away from it."""
+    j = jnp.asarray(rng.randn(2, 24, 3).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 50, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 10).astype(np.float32))
+    R = jnp.broadcast_to(jnp.eye(3), (2, 24, 3, 3))
+    assert float(losses.joints3d_l2(j, j)) == 0.0
+    assert float(losses.verts3d_l2(v, v)) == 0.0
+    assert float(losses.betas_l2(b, b)) == 0.0
+    assert float(losses.rotmat_frob(R, R)) == 0.0
+    assert float(losses.joints3d_l2(j + 1.0, j)) > 0.0
+    assert float(losses.verts3d_l2(v + 1.0, v)) > 0.0
+    assert float(losses.betas_l2(b + 1.0, b)) > 0.0
+
+
+def test_rotmat_frob_monotone_in_geodesic_angle():
+    """Frobenius distance to identity grows with the rotation angle —
+    the smooth, acos-free proxy for geodesic supervision."""
+    from indirect_learning_pose_shape_tpu.models import smpl as smpl_mod
+
+    angles = [0.1, 0.5, 1.0, 2.0]
+    eye = jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3))
+    vals = []
+    for a in angles:
+        aa = jnp.array([[[a, 0.0, 0.0]]])
+        R = smpl_mod.batch_rodrigues(aa)
+        vals.append(float(losses.rotmat_frob(R, eye)))
+    assert vals == sorted(vals) and vals[0] > 0.0
+
+
+def test_total_loss_direct_terms(rng):
+    """total_loss includes direct terms when weighted, skips them at 0."""
+    B = 2
+    outputs = {
+        "silhouette": jnp.asarray(rng.rand(B, 4, 4).astype(np.float32)),
+        "kp2d": jnp.zeros((B, 3, 2)),
+        "pose": jnp.zeros((B, 72)),
+        "betas": jnp.ones((B, 10)),
+        "joints": jnp.asarray(rng.randn(B, 24, 3).astype(np.float32)),
+        "verts": jnp.asarray(rng.randn(B, 30, 3).astype(np.float32)),
+        "rotmats": jnp.broadcast_to(jnp.eye(3), (B, 24, 3, 3)),
+    }
+    targets = {
+        "joints3d": outputs["joints"] + 1.0,
+        "verts3d": outputs["verts"],
+        "rotmats": outputs["rotmats"],
+        "betas": jnp.zeros((B, 10)),
+    }
+    w = {"j3d": 2.0, "v3d": 1.0, "rotmat": 1.0, "betas_l2": 1.0}
+    total, terms = losses.total_loss(outputs, targets, w, 8)
+    assert {"j3d", "v3d", "rotmat", "betas_l2"} <= set(terms)
+    np.testing.assert_allclose(float(terms["j3d"]), 3.0, rtol=1e-6)  # Σ over xyz
+    np.testing.assert_allclose(float(terms["betas_l2"]), 10.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(total), 2.0 * 3.0 + 10.0, rtol=1e-6
+    )  # v3d/rotmat are exactly zero
+    _, terms0 = losses.total_loss(outputs, targets, {"j3d": 0.0}, 8)
+    assert "j3d" not in terms0

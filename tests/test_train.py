@@ -326,3 +326,98 @@ def test_load_model_step_selection(tiny_asset, tmp_path):
         )
     )
     assert diff > 0.0
+
+
+def test_generate_batch_include_3d_consistent(tiny_asset):
+    """include_3d returns the generator's own SMPL outputs: re-running the
+    forward on gt (pose, betas) reproduces gt_joints3d/gt_verts exactly."""
+    from indirect_learning_pose_shape_tpu.models import smpl as smpl_mod
+
+    cfg = tiny_train_cfg()
+    ts, consts = train.init_state(cfg, tiny_asset)
+    batch = jax.jit(
+        lambda k: synthetic.generate_batch(
+            k, 4, consts, cfg.model, cfg.synthetic, include_3d=True
+        )
+    )(jax.random.PRNGKey(11))
+    assert batch["gt_joints3d"].shape == (4, consts.smpl.num_joints, 3)
+    assert batch["gt_rotmats"].shape == (4, consts.smpl.num_joints, 3, 3)
+    out = smpl_mod.smpl_forward(consts.smpl, batch["gt_pose"], batch["gt_betas"])
+    np.testing.assert_allclose(
+        np.asarray(batch["gt_joints3d"]), np.asarray(out["joints"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch["gt_verts"]), np.asarray(out["verts"]), atol=1e-5
+    )
+
+
+def test_mixed_supervision_fused_step(tiny_asset):
+    """Direct 3D terms (j3d/rotmat/betas_l2) ride the fused synthetic step:
+    make_batch emits the gt targets, losses report the terms, and they
+    carry gradient (loss decreases over a few steps)."""
+    cfg = tiny_train_cfg()
+    w = dict(cfg.loss_weights)
+    w.update(j3d=5.0, rotmat=1.0, betas_l2=0.1)
+    cfg = dataclasses.replace(cfg, loss_weights=tuple(w.items()))
+    ts, consts = train.init_state(cfg, tiny_asset)
+    fused = train.compile_fused_step(cfg, consts)
+    hist = []
+    for _ in range(12):
+        ts, terms = fused(ts)
+        hist.append(float(terms["j3d"]))
+    assert {"j3d", "rotmat", "betas_l2"} <= set(terms)
+    assert all(np.isfinite(hist))
+    assert np.mean(hist[-3:]) < np.mean(hist[:3]), f"j3d did not decrease: {hist}"
+
+
+def test_direct_weight_without_targets_raises(tiny_asset):
+    """A direct weight on a dataset batch with no 3D labels is refused
+    loudly (KeyError naming the missing target), not silently skipped."""
+    import pytest as _pytest
+
+    cfg = tiny_train_cfg()
+    w = dict(cfg.loss_weights)
+    w.update(j3d=1.0)
+    cfg = dataclasses.replace(cfg, loss_weights=tuple(w.items()))
+    ts, consts = train.init_state(cfg, tiny_asset)
+    size = cfg.model.image_size
+    batch = {
+        "image": jnp.zeros((2, size, size, 3)),
+        "silhouette": jnp.zeros((2, size, size)),
+        "part_labels": jnp.zeros((2, size, size), jnp.int32),
+        "kp2d": jnp.zeros((2, 19, 2)),
+        "kp_vis": jnp.ones((2, 19)),
+    }
+    with _pytest.raises(KeyError, match="j3d"):
+        train.loss_and_metrics(ts.params, ts.model_state, consts, batch, cfg)
+
+
+def test_preprocess_raw_batch_3d_passthrough_and_augment_refusal(tiny_asset):
+    """Disk batches with 3D labels: crop-invariant passthrough without
+    augmentation; loud refusal when the mirror would desync them."""
+    import pytest as _pytest
+
+    cfg = tiny_train_cfg()
+    ts, consts = train.init_state(cfg, tiny_asset)
+    B, S = 2, 48
+    raw = {
+        "images": jnp.zeros((B, S, S, 3), jnp.uint8),
+        "masks": jnp.zeros((B, S, S), jnp.int32).at[:, 10:30, 10:30].set(1),
+        "kp2d": jnp.ones((B, 19, 2)) * 20.0,
+        "kp_vis": jnp.ones((B, 19)),
+        "joints3d": jnp.ones((B, 24, 3)),
+        "betas": jnp.zeros((B, 10)),
+    }
+    batch = train.preprocess_raw_batch(raw, consts, cfg)
+    np.testing.assert_array_equal(np.asarray(batch["joints3d"]), np.asarray(raw["joints3d"]))
+    np.testing.assert_array_equal(np.asarray(batch["betas"]), np.asarray(raw["betas"]))
+
+    aug_cfg = dataclasses.replace(
+        cfg, augment=dataclasses.replace(cfg.augment, enabled=True)
+    )
+    with _pytest.raises(ValueError, match="3D targets"):
+        train.preprocess_raw_batch(raw, consts, aug_cfg, key=jax.random.PRNGKey(0))
+    # β alone is mirror-invariant and allowed through.
+    raw_b = {k: v for k, v in raw.items() if k != "joints3d"}
+    out = train.preprocess_raw_batch(raw_b, consts, aug_cfg, key=jax.random.PRNGKey(0))
+    assert "betas" in out
