@@ -304,11 +304,17 @@ def make_synthetic_dataset(
     source_size: int = 320,
     seed: int = 0,
     asset=None,
+    include_3d: bool = False,
 ) -> dict:
     """Render a small on-disk dataset with our own SMPL + rasterizer.
 
     Returns the arrays (and writes `path` if given). Self-supervised fixture:
     no external data needed, ground truth known exactly (SURVEY.md §4.3).
+
+    `include_3d` additionally stores per-example 3D labels under the bare
+    npz names the training targets use (joints3d [N,J,3], rotmats [N,J,3,3],
+    betas [N,10]) — a disk dataset for DIRECT/mixed supervision
+    (losses.py j3d/rotmat/betas_l2; see configs.TrainConfig.loss_weights).
     """
     from indirect_learning_pose_shape_tpu.data import synthetic
     from indirect_learning_pose_shape_tpu.models import network as net
@@ -329,7 +335,11 @@ def make_synthetic_dataset(
     # Render in bounded chunks: one giant batch OOMs HBM for large datasets
     # (the raster works per-pixel-chunk but batch still multiplies memory).
     chunk = min(num_examples, 64)
-    gen = jax.jit(lambda k: synthetic.generate_batch(k, chunk, consts, model_cfg))
+    gen = jax.jit(
+        lambda k: synthetic.generate_batch(
+            k, chunk, consts, model_cfg, include_3d=include_3d
+        )
+    )
     parts: list = []
     key = jax.random.PRNGKey(seed)
     remaining = num_examples
@@ -350,6 +360,10 @@ def make_synthetic_dataset(
         "gt_pose": np.asarray(batch["gt_pose"], dtype=np.float32),
         "gt_betas": np.asarray(batch["gt_betas"], dtype=np.float32),
     }
+    if include_3d:
+        arrays["joints3d"] = np.asarray(batch["gt_joints3d"], dtype=np.float32)
+        arrays["rotmats"] = np.asarray(batch["gt_rotmats"], dtype=np.float32)
+        arrays["betas"] = np.asarray(batch["gt_betas"], dtype=np.float32)
     if path:
         np.savez_compressed(path, **arrays)
     return arrays

@@ -617,9 +617,23 @@ def fit_dataset(
     start = int(ts.step)
     # Filter to the keys the step uses BEFORE prefetch so unused arrays
     # (e.g. gt_* diagnostics in synthetic npz files) never ride the H2D pipe.
-    raw_keys = ("images", "masks", "kp2d", "kp_vis")
+    # Live direct-supervision weights pull their 3D target keys back in
+    # (joints3d/verts3d/rotmats/betas; a dataset missing one is refused with
+    # the descriptive loss_and_metrics error at the first step).
+    w = cfg.loss_weight_dict
+    raw_keys = ["images", "masks", "kp2d", "kp_vis"] + [
+        tkey
+        for wkey, tkey in (
+            ("j3d", "joints3d"),
+            ("v3d", "verts3d"),
+            ("rotmat", "rotmats"),
+            ("betas_l2", "betas"),
+        )
+        if w.get(wkey, 0.0)
+    ]
     raw_iter = (
-        {k: b[k] for k in raw_keys} for b in dataset.batches(start_step=start)
+        {k: b[k] for k in raw_keys if k in b}
+        for b in dataset.batches(start_step=start)
     )
     batches = prefetch_to_device(raw_iter, size=2, sharding=sharding)
     writer = MetricsWriter(

@@ -248,3 +248,29 @@ def test_fit_and_eval_on_sharded_dataset(tiny_asset, tmp_path):
         train.init_state(cfg, tiny_asset)[1], cfg, ds, max_batches=2,
     )
     assert "pve" in m and np.isfinite(m["pve"])  # gt_* keys rode the shards
+
+
+def test_synthetic_dataset_include_3d_keys(tiny_asset):
+    arrays = ds_lib.make_synthetic_dataset(
+        None, num_examples=4, source_size=48, asset=tiny_asset, include_3d=True
+    )
+    assert arrays["joints3d"].shape == (4, 24, 3)
+    assert arrays["rotmats"].shape == (4, 24, 3, 3)
+    np.testing.assert_array_equal(arrays["betas"], arrays["gt_betas"])
+
+
+@pytest.mark.slow
+def test_fit_dataset_mixed_supervision(tiny_asset):
+    """End-to-end disk mixed supervision: the 3D label keys survive the
+    prefetch filter and the j3d/rotmat terms ride the dataset train step."""
+    cfg = tiny_train_cfg()
+    w = dict(cfg.loss_weights)
+    w.update(j3d=5.0, rotmat=1.0)
+    cfg = dataclasses.replace(cfg, loss_weights=tuple(w.items()))
+    arrays = ds_lib.make_synthetic_dataset(
+        None, num_examples=8, source_size=48, asset=tiny_asset, include_3d=True
+    )
+    ds = ds_lib.NpzDataset(arrays, batch_size=cfg.batch_size)
+    _, terms = train.fit_dataset(cfg, ds, asset=tiny_asset, num_steps=3)
+    assert "j3d" in terms and "rotmat" in terms
+    assert np.isfinite(terms["total"]) and np.isfinite(terms["j3d"])
