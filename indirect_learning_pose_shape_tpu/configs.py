@@ -185,6 +185,41 @@ CONFIG4_R34 = TrainConfig(
 # full config-4 step at the best batch. LR scaled with batch (linear rule).
 CONFIG4_B128 = TrainConfig(model=_model(256), batch_size=128, learning_rate=4e-4)
 
+# Mixed direct+indirect supervision at the measured-best recipe
+# (BASELINE.md "Mixed supervision", 2026-08-19): the indirect losses plus
+# metric-scale 3D terms (j3d/rotmat/betas_l2) on a 3D-labeled source —
+# the synthetic stream emits its ground truth on device for free; disk
+# npz datasets need joints3d/rotmats/betas keys
+# (tools/make_synthetic_dataset.py --include-3d). shape_reg drops to 0:
+# direct beta supervision replaces the mean-anchor prior. At 5k cosine
+# steps this scores PVE 0.0752 ±0.0003 vs 0.0937 for the best pure-
+# indirect recipe — the (scale, depth) ambiguity the indirect losses
+# cannot see (plateau analysis, BASELINE.md) is resolved by supervision
+# that carries metric scale.
+CONFIG4_MIXED = TrainConfig(
+    model=dataclasses.replace(
+        _model(256, depth=34),
+        ief=IEFConfig(rotation_format="rot6d"),
+    ),
+    batch_size=32,
+    learning_rate=3e-4,
+    lr_schedule="cosine",
+    grad_clip_norm=1.0,
+    num_steps=5000,
+    loss_weights=(
+        ("sil_bce", 1.0),
+        ("sil_iou", 1.0),
+        ("part_ce", 1.0),
+        ("kp", 5.0),
+        ("shape_reg", 0.0),
+        ("pose_reg", 1e-3),
+        ("j3d", 5.0),
+        ("v3d", 0.0),
+        ("rotmat", 1.0),
+        ("betas_l2", 0.02),
+    ),
+)
+
 # Mirror augmentation must know this label space: ids 1-24 follow SMPL,
 # 25-31 are the synthetic stand-in's reserved midline ids (data/augment.py
 # _PART_CONVENTIONS; a real UP-S31 palette needs 'custom' + part_lr_pairs).
@@ -202,6 +237,7 @@ PRESETS = {
     "config4_b128": CONFIG4_B128,
     "config4_large": CONFIG4_LARGE,
     "config4_r34": CONFIG4_R34,
+    "config4_mixed": CONFIG4_MIXED,
     "config4_parts31": CONFIG4_PARTS31,
     "config5_data_parallel": CONFIG5_DATA_PARALLEL,
 }

@@ -370,6 +370,19 @@ def test_mixed_supervision_fused_step(tiny_asset):
     assert np.mean(hist[-3:]) < np.mean(hist[:3]), f"j3d did not decrease: {hist}"
 
 
+def test_mixed_preset_registered():
+    """config4_mixed ships the measured-best mixed recipe (BASELINE.md):
+    live j3d/rotmat/betas_l2 weights, shape_reg retired (direct beta
+    supervision replaces the mean-anchor prior), cosine schedule."""
+    cfg = configs.PRESETS["config4_mixed"]
+    w = cfg.loss_weight_dict
+    assert w["j3d"] > 0 and w["rotmat"] > 0 and w["betas_l2"] > 0
+    assert w["shape_reg"] == 0.0
+    assert cfg.lr_schedule == "cosine" and cfg.grad_clip_norm > 0
+    assert cfg.model.encoder.depth == 34
+    assert cfg.model.ief.rotation_format == "rot6d"
+
+
 def test_direct_weight_without_targets_raises(tiny_asset):
     """A direct weight on a dataset batch with no 3D labels is refused
     loudly (KeyError naming the missing target), not silently skipped."""
