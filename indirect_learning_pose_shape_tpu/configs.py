@@ -191,11 +191,13 @@ CONFIG4_B128 = TrainConfig(model=_model(256), batch_size=128, learning_rate=4e-4
 # the synthetic stream emits its ground truth on device for free; disk
 # npz datasets need joints3d/rotmats/betas keys
 # (tools/make_synthetic_dataset.py --include-3d). shape_reg drops to 0:
-# direct beta supervision replaces the mean-anchor prior. At 5k cosine
-# steps this scores PVE 0.0752 ±0.0003 vs 0.0937 for the best pure-
-# indirect recipe — the (scale, depth) ambiguity the indirect losses
-# cannot see (plateau analysis, BASELINE.md) is resolved by supervision
-# that carries metric scale.
+# direct beta supervision replaces the mean-anchor prior. Scores PVE
+# 0.0617 ±0.0005 at the 20k default (0.0752 at 5k) vs 0.0937 for the
+# best pure-indirect recipe — the (scale, depth) ambiguity the indirect
+# losses cannot see (plateau analysis, BASELINE.md) is resolved by
+# supervision that carries metric scale. Unlike indirect training there
+# is no horizon trade (every metric improves monotonically with steps),
+# so the preset ships at the long horizon.
 CONFIG4_MIXED = TrainConfig(
     model=dataclasses.replace(
         _model(256, depth=34),
@@ -205,7 +207,7 @@ CONFIG4_MIXED = TrainConfig(
     learning_rate=3e-4,
     lr_schedule="cosine",
     grad_clip_norm=1.0,
-    num_steps=5000,
+    num_steps=20000,
     loss_weights=(
         ("sil_bce", 1.0),
         ("sil_iou", 1.0),
