@@ -33,6 +33,38 @@ class SyntheticConfig:
     kp_visibility: float = 0.9  # fraction of keypoints marked visible
 
 
+def apply_overrides(cfg: SyntheticConfig, specs) -> SyntheticConfig:
+    """Apply CLI ``FIELD=VALUE`` overrides to a SyntheticConfig.
+
+    The stream-hardness knobs (pose_std, cam_scale_range, ...) control the
+    training/eval distribution; exposing them as flags makes
+    distribution-hardness sweeps and out-of-distribution eval rows a CLI
+    choice instead of a code edit (train/quality_eval --synthetic).
+    Unknown fields are refused loudly (the repo's convention for label/
+    convention knobs); `cam_scale_range` parses as ``lo,hi``.
+    """
+    valid = {f.name for f in dataclasses.fields(SyntheticConfig)}
+    updates = {}
+    for spec in specs:
+        name, sep, value = spec.partition("=")
+        if not sep or name not in valid:
+            raise ValueError(
+                f"synthetic override {spec!r}: expected FIELD=VALUE with "
+                f"FIELD among {sorted(valid)}"
+            )
+        if name == "cam_scale_range":
+            parts = value.split(",")
+            if len(parts) != 2:
+                raise ValueError(
+                    f"synthetic override {spec!r}: cam_scale_range takes "
+                    "LO,HI (e.g. cam_scale_range=0.5,1.3)"
+                )
+            updates[name] = (float(parts[0]), float(parts[1]))
+        else:
+            updates[name] = float(value)
+    return dataclasses.replace(cfg, **updates)
+
+
 def sample_theta(key, batch: int, consts: net.ModelConsts, cfg: SyntheticConfig):
     """Sample ground-truth (pose [B,72], betas [B,10], cam [B,3])."""
     kp, kg, kb, ks, kt = jax.random.split(key, 5)

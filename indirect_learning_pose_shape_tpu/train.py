@@ -769,6 +769,17 @@ def main():
         "shape_reg=0 --loss-weight kp=10; names must already exist in the "
         "preset's loss_weights (unknown names are refused)",
     )
+    ap.add_argument(
+        "--synthetic",
+        action="append",
+        default=None,
+        metavar="FIELD=VALUE",
+        help="override one synthetic-stream knob (repeatable), e.g. "
+        "--synthetic pose_std=0.35 --synthetic cam_scale_range=0.5,1.3 "
+        "(data/synthetic.SyntheticConfig fields; unknown fields are "
+        "refused). Controls the training distribution's hardness; "
+        "synthetic-stream training only",
+    )
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
     ap.add_argument(
@@ -885,6 +896,15 @@ def main():
                 )
             weights[name] = float(value)
         updates["loss_weights"] = tuple(weights.items())
+    if args.synthetic:
+        if args.dataset or args.image_dir:
+            ap.error("--synthetic applies to synthetic-stream training only")
+        try:
+            updates["synthetic"] = synthetic.apply_overrides(
+                cfg.synthetic, args.synthetic
+            )
+        except ValueError as e:
+            ap.error(str(e))
     if args.steps_per_call is not None:
         if args.steps_per_call < 1:
             ap.error("--steps-per-call must be >= 1")

@@ -231,6 +231,42 @@ def test_cli_overrides_reach_config(monkeypatch):
         train.main()
 
 
+def test_cli_synthetic_overrides(monkeypatch):
+    """--synthetic FIELD=VALUE lands in TrainConfig.synthetic (incl. the
+    cam_scale_range LO,HI form); unknown fields and disk-data combinations
+    refuse loudly."""
+    captured = {}
+
+    def fake_fit(cfg, num_steps=None, metrics_path=None):
+        captured["cfg"] = cfg
+        return None, {"total": 0.0}
+
+    monkeypatch.setattr(train, "fit", fake_fit)
+    monkeypatch.setattr(
+        "sys.argv",
+        [
+            "train",
+            "--synthetic", "pose_std=0.35",
+            "--synthetic", "cam_scale_range=0.5,1.3",
+        ],
+    )
+    train.main()
+    syn = captured["cfg"].synthetic
+    assert syn.pose_std == 0.35
+    assert syn.cam_scale_range == (0.5, 1.3)
+    assert syn.shape_std == 1.0  # untouched fields keep preset defaults
+
+    monkeypatch.setattr("sys.argv", ["train", "--synthetic", "nosuch=1"])
+    with pytest.raises(SystemExit):
+        train.main()
+    monkeypatch.setattr(
+        "sys.argv",
+        ["train", "--synthetic", "pose_std=0.3", "--dataset", "x.npz"],
+    )
+    with pytest.raises(SystemExit):
+        train.main()
+
+
 def test_ema_params_polyak_average(tiny_asset):
     """ts.ema_params is exactly the Polyak average of the param trajectory,
     initialized at the step-0 params (TrainConfig.ema_decay)."""

@@ -83,6 +83,17 @@ def main():
         "(train --rot-format); the IEF head width differs, so restore "
         "requires the matching format",
     )
+    ap.add_argument(
+        "--synthetic",
+        action="append",
+        default=None,
+        metavar="FIELD=VALUE",
+        help="override one synthetic-stream knob for the EVAL distribution "
+        "(repeatable), e.g. --synthetic pose_std=0.35 --synthetic "
+        "cam_scale_range=0.5,1.3 — scores the checkpoint on a harder/"
+        "shifted stream than it was trained on (out-of-distribution row); "
+        "the overrides are recorded in the output JSON",
+    )
     args = ap.parse_args()
 
     import jax
@@ -92,6 +103,18 @@ def main():
     from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
 
     cfg = configs.PRESETS[args.preset]
+    if args.synthetic:
+        import dataclasses
+
+        from indirect_learning_pose_shape_tpu.data import synthetic as synth_lib
+
+        try:
+            cfg = dataclasses.replace(
+                cfg,
+                synthetic=synth_lib.apply_overrides(cfg.synthetic, args.synthetic),
+            )
+        except ValueError as e:
+            ap.error(str(e))
     if args.ief_iters is not None or args.rot_format is not None:
         import dataclasses
 
@@ -145,6 +168,7 @@ def main():
         "int8": args.int8,
         "int8_impl": args.int8_impl if args.int8 else None,
         "ema": args.ema,
+        "synthetic": args.synthetic,
         "metrics": summary,
     }
     print(json.dumps(out))
