@@ -362,12 +362,33 @@ def main():
         help="score the Polyak-averaged (EMA) params from the checkpoint "
         "instead of the raw ones (requires a run with ema_decay>0)",
     )
+    ap.add_argument(
+        "--synthetic",
+        action="append",
+        default=None,
+        metavar="FIELD=VALUE",
+        help="override one synthetic-stream knob for the eval distribution "
+        "(repeatable; data/synthetic.SyntheticConfig fields, e.g. "
+        "pose_std=0.35, cam_scale_range=0.5,1.3) — synthetic-stream "
+        "scoring only",
+    )
     args = ap.parse_args()
 
     from indirect_learning_pose_shape_tpu.predict import load_model
     from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
 
     cfg = configs.PRESETS[args.preset]
+    if args.synthetic:
+        if args.dataset or args.image_dir:
+            ap.error("--synthetic applies to synthetic-stream scoring only")
+        import dataclasses as _dc
+
+        try:
+            cfg = _dc.replace(
+                cfg, synthetic=synthetic.apply_overrides(cfg.synthetic, args.synthetic)
+            )
+        except ValueError as e:
+            ap.error(str(e))
     params, state, consts = load_model(
         cfg, args.checkpoint, assets_lib.load_asset(), ema=args.ema,
         step=args.step,

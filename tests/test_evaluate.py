@@ -123,6 +123,23 @@ def test_evaluate_dataset_with_and_without_gt(tiny_asset):
     assert np.isfinite(m3["pve"]) and abs(m3["sil_iou"] - m["sil_iou"]) < 0.05
 
 
+def test_evaluate_cli_synthetic_refusals(monkeypatch):
+    """evaluate --synthetic refuses unknown fields and disk-data combos
+    loudly, before any model/asset work (train's parse path, shared via
+    data/synthetic.apply_overrides)."""
+    monkeypatch.setattr(
+        "sys.argv", ["evaluate", "--synthetic", "nosuch=1"]
+    )
+    with pytest.raises(SystemExit):
+        evaluate.main()
+    monkeypatch.setattr(
+        "sys.argv",
+        ["evaluate", "--synthetic", "pose_std=0.3", "--dataset", "x.npz"],
+    )
+    with pytest.raises(SystemExit):
+        evaluate.main()
+
+
 def test_perspective_projection_basic():
     x3d = jnp.array([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]]])
     cam_t = jnp.array([[0.0, 0.0, 5.0]])
