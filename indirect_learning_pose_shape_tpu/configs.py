@@ -76,8 +76,8 @@ class TrainConfig:
     checkpoint_dir: str = "/tmp/ilps_ckpt"
     # Metrics-write cadence (steps). Each write costs one batched D2H
     # fetch (~38 ms through the remote-chip tunnel) — ~3.8 ms/step
-    # amortized at 10, ~0.8 at 50. Synthetic-stream fused training only;
-    # the disk paths log every batch (their H2D transfer already syncs).
+    # amortized at 10, ~0.8 at 50. Honored by all fit paths (synthetic
+    # stream, --dataset, --image-dir).
     log_every: int = 10
     metrics_path: str | None = None  # JSONL per-step scalars
     tensorboard_dir: str | None = None  # TB event files (utils/metrics.py)

@@ -305,6 +305,7 @@ def make_synthetic_dataset(
     seed: int = 0,
     asset=None,
     include_3d: bool = False,
+    include_verts3d: bool = False,
 ) -> dict:
     """Render a small on-disk dataset with our own SMPL + rasterizer.
 
@@ -312,9 +313,14 @@ def make_synthetic_dataset(
     no external data needed, ground truth known exactly (SURVEY.md §4.3).
 
     `include_3d` additionally stores per-example 3D labels under the bare
-    npz names the training targets use (joints3d [N,J,3], rotmats [N,J,3,3],
-    betas [N,10]) — a disk dataset for DIRECT/mixed supervision
-    (losses.py j3d/rotmat/betas_l2; see configs.TrainConfig.loss_weights).
+    npz names the training targets use (joints3d [N,J,3], rotmats [N,J,3,3])
+    — a disk dataset for DIRECT/mixed supervision (losses.py j3d/rotmat/
+    betas_l2; see configs.TrainConfig.loss_weights). betas_l2 reads the
+    gt_betas array that is always stored (fit_dataset aliases gt_betas →
+    betas, so no duplicate copy is written). Vertex supervision (v3d) needs
+    `include_verts3d` — kept separate because verts3d is ~80× the size of
+    the other 3D labels (N×6890×3 f32 ≈ 83 KB/example) and the mixed preset
+    measured it information-free given j3d+rotmat+betas (BASELINE.md).
     """
     from indirect_learning_pose_shape_tpu.data import synthetic
     from indirect_learning_pose_shape_tpu.models import network as net
@@ -337,7 +343,7 @@ def make_synthetic_dataset(
     chunk = min(num_examples, 64)
     gen = jax.jit(
         lambda k: synthetic.generate_batch(
-            k, chunk, consts, model_cfg, include_3d=include_3d
+            k, chunk, consts, model_cfg, include_3d=include_3d or include_verts3d
         )
     )
     parts: list = []
@@ -363,7 +369,8 @@ def make_synthetic_dataset(
     if include_3d:
         arrays["joints3d"] = np.asarray(batch["gt_joints3d"], dtype=np.float32)
         arrays["rotmats"] = np.asarray(batch["gt_rotmats"], dtype=np.float32)
-        arrays["betas"] = np.asarray(batch["gt_betas"], dtype=np.float32)
+    if include_verts3d:
+        arrays["verts3d"] = np.asarray(batch["gt_verts"], dtype=np.float32)
     if path:
         np.savez_compressed(path, **arrays)
     return arrays

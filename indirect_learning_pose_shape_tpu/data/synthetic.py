@@ -52,16 +52,18 @@ def apply_overrides(cfg: SyntheticConfig, specs) -> SyntheticConfig:
                 f"synthetic override {spec!r}: expected FIELD=VALUE with "
                 f"FIELD among {sorted(valid)}"
             )
-        if name == "cam_scale_range":
-            parts = value.split(",")
-            if len(parts) != 2:
-                raise ValueError(
-                    f"synthetic override {spec!r}: cam_scale_range takes "
-                    "LO,HI (e.g. cam_scale_range=0.5,1.3)"
-                )
-            updates[name] = (float(parts[0]), float(parts[1]))
-        else:
-            updates[name] = float(value)
+        try:
+            if name == "cam_scale_range":
+                parts = value.split(",")
+                if len(parts) != 2:
+                    raise ValueError("takes LO,HI (e.g. cam_scale_range=0.5,1.3)")
+                updates[name] = (float(parts[0]), float(parts[1]))
+            else:
+                updates[name] = float(value)
+        except ValueError as e:
+            # Re-raise float()'s bare "could not convert string to float"
+            # with the same descriptive framing unknown fields get.
+            raise ValueError(f"synthetic override {spec!r}: {e}") from None
     return dataclasses.replace(cfg, **updates)
 
 

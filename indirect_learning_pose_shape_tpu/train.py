@@ -573,9 +573,13 @@ def fit_preprocessed(
         metrics_path or cfg.metrics_path, tensorboard_dir=cfg.tensorboard_dir
     )
     terms = {}
+    le = max(1, cfg.log_every)
     for i in range(start, max(num_steps, start)):
         ts, terms = step_fn(ts, next(batches))
-        if i % 10 == 0 or i == num_steps - 1:
+        # Honor log_every here too: each write is a blocking D2H fetch
+        # (~38 ms batched vs 397 ms naive through the tunnel, BASELINE.md),
+        # and the disk paths are exactly the transfer-bound ones.
+        if i % le == 0 or i == num_steps - 1:
             writer.write(i, terms)
         if ckpt and (i + 1) % cfg.checkpoint_every == 0:
             ckpt.save(int(ts.step), dataclasses.asdict(ts))
@@ -617,22 +621,26 @@ def fit_dataset(
     start = int(ts.step)
     # Filter to the keys the step uses BEFORE prefetch so unused arrays
     # (e.g. gt_* diagnostics in synthetic npz files) never ride the H2D pipe.
-    # Live direct-supervision weights pull their 3D target keys back in
-    # (joints3d/verts3d/rotmats/betas; a dataset missing one is refused with
-    # the descriptive loss_and_metrics error at the first step).
+    # Live direct-supervision weights pull their 3D target keys back in —
+    # under the bare name OR its gt_* alias (first candidate present in the
+    # dataset wins, renamed to the bare name downstream expects); a dataset
+    # missing both is refused with the descriptive loss_and_metrics error at
+    # the first step.
     w = cfg.loss_weight_dict
-    raw_keys = ["images", "masks", "kp2d", "kp_vis"] + [
-        tkey
-        for wkey, tkey in (
-            ("j3d", "joints3d"),
-            ("v3d", "verts3d"),
-            ("rotmat", "rotmats"),
-            ("betas_l2", "betas"),
-        )
-        if w.get(wkey, 0.0)
-    ]
+    pulls = {k: k for k in ("images", "masks", "kp2d", "kp_vis")}
+    ds_keys = getattr(dataset, "keys", frozenset())
+    for wkey, tkey, candidates in (
+        ("j3d", "joints3d", ("joints3d", "gt_joints3d")),
+        ("v3d", "verts3d", ("verts3d", "gt_verts")),
+        ("rotmat", "rotmats", ("rotmats", "gt_rotmats")),
+        ("betas_l2", "betas", ("betas", "gt_betas")),
+    ):
+        if w.get(wkey, 0.0):
+            pulls[tkey] = next(
+                (c for c in candidates if c in ds_keys), candidates[0]
+            )
     raw_iter = (
-        {k: b[k] for k in raw_keys if k in b}
+        {k: b[src] for k, src in pulls.items() if src in b}
         for b in dataset.batches(start_step=start)
     )
     batches = prefetch_to_device(raw_iter, size=2, sharding=sharding)
@@ -640,9 +648,10 @@ def fit_dataset(
         metrics_path or cfg.metrics_path, tensorboard_dir=cfg.tensorboard_dir
     )
     terms = {}
+    le = max(1, cfg.log_every)
     for i in range(start, max(num_steps, start)):
         ts, terms = step_fn(ts, next(batches))
-        if i % 10 == 0 or i == num_steps - 1:
+        if i % le == 0 or i == num_steps - 1:
             writer.write(i, terms)
         if ckpt and (i + 1) % cfg.checkpoint_every == 0:
             ckpt.save(int(ts.step), dataclasses.asdict(ts))

@@ -191,3 +191,46 @@ def test_load_model_is_optimizer_agnostic(tiny_asset, tmp_path):
     )
     m = eval_mod.evaluate(params, state, consts, eval_cfg, num_batches=1)
     assert np.isfinite(m["pve"])
+
+
+@pytest.mark.slow
+def test_checkpoint_cross_mesh_portability(tiny_asset, tmp_path):
+    """Checkpoints are mesh-portable (SURVEY.md §5 failure table: elasticity
+    across restarts): a run checkpointed on the 8-device mesh resumes on 1
+    device — and the reverse — landing on the same loss trajectory as an
+    unbroken run. Restore happens pre-replication by design (train.fit), so
+    the restored arrays simply pick up the new run's sharding."""
+    base = tiny_train_cfg(batch_size=8)
+    ref_cfg = dataclasses.replace(
+        base, num_devices=1, checkpoint_every=2,
+        checkpoint_dir=str(tmp_path / "ref"),
+    )
+    ts_ref, terms_ref = train.fit(ref_cfg, asset=tiny_asset, num_steps=4)
+
+    # 8-device segment, then continue the SAME checkpoint dir on 1 device.
+    cfg8 = dataclasses.replace(
+        base, num_devices=8, checkpoint_every=2, checkpoint_dir=str(tmp_path / "a")
+    )
+    train.fit(cfg8, asset=tiny_asset, num_steps=2)
+    ts_a, terms_a = train.fit(
+        dataclasses.replace(cfg8, num_devices=1), asset=tiny_asset, num_steps=4
+    )
+    assert int(ts_a.step) == int(ts_ref.step) == 4
+    # Sharded-vs-single reduction order differs at f32 epsilon and compounds
+    # through Adam (see test_steps_per_call_chunking_matches_single's note).
+    np.testing.assert_allclose(
+        float(terms_a["total"]), float(terms_ref["total"]), rtol=1e-2
+    )
+
+    # Reverse direction: 1-device segment resumed onto the 8-device mesh.
+    cfg1 = dataclasses.replace(
+        base, num_devices=1, checkpoint_every=2, checkpoint_dir=str(tmp_path / "b")
+    )
+    train.fit(cfg1, asset=tiny_asset, num_steps=2)
+    ts_b, terms_b = train.fit(
+        dataclasses.replace(cfg1, num_devices=8), asset=tiny_asset, num_steps=4
+    )
+    assert int(ts_b.step) == 4
+    np.testing.assert_allclose(
+        float(terms_b["total"]), float(terms_ref["total"]), rtol=1e-2
+    )

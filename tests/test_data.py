@@ -256,21 +256,32 @@ def test_synthetic_dataset_include_3d_keys(tiny_asset):
     )
     assert arrays["joints3d"].shape == (4, 24, 3)
     assert arrays["rotmats"].shape == (4, 24, 3, 3)
-    np.testing.assert_array_equal(arrays["betas"], arrays["gt_betas"])
+    # betas is NOT duplicated: betas_l2 training reads gt_betas through
+    # fit_dataset's alias pull (ADVICE r3); verts3d is opt-in (size).
+    assert "betas" not in arrays and "verts3d" not in arrays
+    assert arrays["gt_betas"].shape[1] == 10
+    av = ds_lib.make_synthetic_dataset(
+        None, num_examples=2, source_size=48, asset=tiny_asset,
+        include_verts3d=True,
+    )
+    assert av["verts3d"].ndim == 3 and av["verts3d"].shape[2] == 3
 
 
 @pytest.mark.slow
 def test_fit_dataset_mixed_supervision(tiny_asset):
     """End-to-end disk mixed supervision: the 3D label keys survive the
-    prefetch filter and the j3d/rotmat terms ride the dataset train step."""
+    prefetch filter (including the gt_betas → betas alias: the file stores
+    no bare 'betas' array) and the j3d/rotmat/betas_l2 terms ride the
+    dataset train step."""
     cfg = tiny_train_cfg()
     w = dict(cfg.loss_weights)
-    w.update(j3d=5.0, rotmat=1.0)
+    w.update(j3d=5.0, rotmat=1.0, betas_l2=0.02)
     cfg = dataclasses.replace(cfg, loss_weights=tuple(w.items()))
     arrays = ds_lib.make_synthetic_dataset(
         None, num_examples=8, source_size=48, asset=tiny_asset, include_3d=True
     )
+    assert "betas" not in arrays  # exercised: the alias pull, not a dup key
     ds = ds_lib.NpzDataset(arrays, batch_size=cfg.batch_size)
     _, terms = train.fit_dataset(cfg, ds, asset=tiny_asset, num_steps=3)
-    assert "j3d" in terms and "rotmat" in terms
+    assert {"j3d", "rotmat", "betas_l2"} <= set(terms)
     assert np.isfinite(terms["total"]) and np.isfinite(terms["j3d"])

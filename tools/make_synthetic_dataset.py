@@ -31,7 +31,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--include-3d", action="store_true",
-        help="store joints3d/rotmats/betas for direct/mixed supervision",
+        help="store joints3d/rotmats for direct/mixed supervision (betas_l2 "
+        "reads the always-present gt_betas via fit_dataset's alias)",
+    )
+    ap.add_argument(
+        "--include-verts3d", action="store_true",
+        help="also store per-example vertices (v3d supervision; ~83 KB/"
+        "example — measured information-free given j3d+rotmat+betas)",
     )
     ap.add_argument(
         "--shards", type=int, default=0,
@@ -55,6 +61,7 @@ def main():
             ds.make_synthetic_dataset(
                 tmp_path, args.num, source_size=args.size, seed=args.seed,
                 include_3d=args.include_3d,
+                include_verts3d=args.include_verts3d,
             )
             shard_size = -(-args.num // args.shards)
             paths = ds.shard_npz(tmp_path, args.out, shard_size)
@@ -65,6 +72,7 @@ def main():
         arrays = ds.make_synthetic_dataset(
             args.out, args.num, source_size=args.size, seed=args.seed,
             include_3d=args.include_3d,
+            include_verts3d=args.include_verts3d,
         )
         mb = sum(a.nbytes for a in arrays.values()) / 1e6
         print(
