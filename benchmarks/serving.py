@@ -58,6 +58,11 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--preset", default="config4_full")
     ap.add_argument(
+        "--keep-bf16", nargs="*", default=[], metavar="SITE",
+        help="encoder sites (names or prefixes, e.g. stem s3) kept bf16 in "
+        "the int8 paths (models/quantize.py keep_sites Pareto knob)",
+    )
+    ap.add_argument(
         "--chained",
         type=int,
         default=0,
@@ -89,7 +94,8 @@ def main():
         jax.random.PRNGKey(17), 16, consts, cfg.model, cfg.synthetic
     )["image"]
     qparams = q.ptq_quantize(
-        params["encoder"], state["encoder"], cfg.model.encoder, calib
+        params["encoder"], state["encoder"], cfg.model.encoder, calib,
+        keep_sites=tuple(args.keep_bf16),
     )
 
     bf16_fwd = jax.jit(

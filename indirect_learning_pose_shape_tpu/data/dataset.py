@@ -306,11 +306,19 @@ def make_synthetic_dataset(
     asset=None,
     include_3d: bool = False,
     include_verts3d: bool = False,
+    synth=None,
 ) -> dict:
     """Render a small on-disk dataset with our own SMPL + rasterizer.
 
     Returns the arrays (and writes `path` if given). Self-supervised fixture:
     no external data needed, ground truth known exactly (SURVEY.md §4.3).
+
+    `synth` (a data/synthetic.SyntheticConfig, default stream when None)
+    selects the generator distribution AND the target renderer — e.g.
+    targets='hard' writes z-buffer-rendered masks (ops/raster_hard.py) so
+    disk training supervises on renderer-independent hard annotations, and
+    the appearance knobs (bg_mode/color_jitter/shading/occluders) produce
+    domain-randomized images.
 
     `include_3d` additionally stores per-example 3D labels under the bare
     npz names the training targets use (joints3d [N,J,3], rotmats [N,J,3,3])
@@ -341,9 +349,15 @@ def make_synthetic_dataset(
     # Render in bounded chunks: one giant batch OOMs HBM for large datasets
     # (the raster works per-pixel-chunk but batch still multiplies memory).
     chunk = min(num_examples, 64)
+    synth_cfg = synth if synth is not None else synthetic.SyntheticConfig()
     gen = jax.jit(
         lambda k: synthetic.generate_batch(
-            k, chunk, consts, model_cfg, include_3d=include_3d or include_verts3d
+            k,
+            chunk,
+            consts,
+            model_cfg,
+            synth_cfg,
+            include_3d=include_3d or include_verts3d,
         )
     )
     parts: list = []

@@ -18,7 +18,7 @@ import numpy as np
 from indirect_learning_pose_shape_tpu.models import encoder as enc
 from indirect_learning_pose_shape_tpu.models import ief as ief_mod
 from indirect_learning_pose_shape_tpu.models import smpl as smpl_mod
-from indirect_learning_pose_shape_tpu.ops import camera, raster
+from indirect_learning_pose_shape_tpu.ops import camera, raster, raster_hard
 from indirect_learning_pose_shape_tpu.utils.assets import SMPLAsset
 
 
@@ -33,24 +33,32 @@ class ModelConfig:
 
 
 @functools.partial(
-    jax.tree_util.register_dataclass, data_fields=["smpl", "part_layout"], meta_fields=[]
+    jax.tree_util.register_dataclass,
+    data_fields=["smpl", "part_layout", "hard"],
+    meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class ModelConsts:
-    """Non-trainable constants: SMPL tensors + class-sorted part layout."""
+    """Non-trainable constants: SMPL tensors + class-sorted part layout +
+    face topology for the hard (z-buffered) target renderer."""
 
     smpl: smpl_mod.SMPLConsts
     part_layout: raster.PartLayout
+    hard: raster_hard.HardConsts
 
 
 def build_consts(asset: SMPLAsset, cfg: ModelConfig) -> ModelConsts:
+    vlabels = np.minimum(asset.part_labels(), cfg.raster.num_parts - 1)
     return ModelConsts(
         smpl=smpl_mod.smpl_consts(asset),
         part_layout=raster.build_part_layout(
-            np.minimum(asset.part_labels(), cfg.raster.num_parts - 1),
+            vlabels,
             cfg.raster.num_parts,
             positions=asset.v_template,  # static spatial sort -> tighter culling
         ),
+        # Same vertex→class map as the soft raster's channels, so hard and
+        # soft targets share one label space (ops/raster_hard.py).
+        hard=raster_hard.build_hard_consts(asset.faces, vlabels),
     )
 
 

@@ -185,8 +185,18 @@ def _quantize_weight(w):
     return q, s
 
 
+def _site_kept(site: str, keep_sites) -> bool:
+    """True if `site` matches any keep pattern (exact name or prefix —
+    'stem' keeps the stem, 's3' keeps every stage-3 conv)."""
+    return any(site == p or site.startswith(p) for p in keep_sites)
+
+
 def ptq_quantize(
-    params: dict, state: dict, cfg: enc.EncoderConfig, calib_images: jax.Array
+    params: dict,
+    state: dict,
+    cfg: enc.EncoderConfig,
+    calib_images: jax.Array,
+    keep_sites: tuple = (),
 ) -> dict:
     """Calibrate + quantize. Returns the qparams pytree:
 
@@ -194,6 +204,16 @@ def ptq_quantize(
             'act_scale': f32 scalar}}
     The stem site's weight is stored pre-transformed to the space-to-depth
     4x4 layout (serving inputs must have even H, W — standard 256²).
+
+    `keep_sites` (site names or prefixes, e.g. ("stem", "s3")) marks sites to
+    run in bf16 instead of int8: those sites additionally store 'w_bf16'
+    (the folded weight) and the serving paths skip BOTH the weight rounding
+    and — on the carried path — the activation requantization feeding them.
+    The measured use (BASELINE.md §serving): carried-int8's only protocol
+    accuracy cost is +0.17 px keypoint error / −1.8% relative mIoU from
+    per-handoff activation rounding; keeping the stem and/or final stage
+    bf16 trades a few % throughput to close that gap — a per-site Pareto
+    knob rather than an all-or-nothing int8 switch.
     """
     folded = fold_bn(params, state, cfg)
     _, absmax = jax.jit(calibrate, static_argnums=2)(folded, calib_images, cfg)
@@ -208,6 +228,8 @@ def ptq_quantize(
             "bias": b,
             "act_scale": jnp.maximum(absmax[site], 1e-12) / _QMAX,
         }
+        if _site_kept(site, keep_sites):
+            qparams[site]["w_bf16"] = w.astype(jnp.bfloat16)
     return qparams
 
 
@@ -245,6 +267,11 @@ def quantized_encoder_apply(
             stride, padding = 1, "VALID"
         else:
             padding = _sym_pad(q["w"].shape[0])
+        if "w_bf16" in q:  # bf16-kept site: no weight or activation rounding
+            y = _conv_nhwc(
+                x.astype(jnp.bfloat16), q["w_bf16"], stride, padding
+            ).astype(jnp.float32)
+            return y + q["bias"]
         xq = jnp.clip(jnp.round(x / s_x), -_QMAX, _QMAX)
         if impl == "int8":
             y = _conv_nhwc(xq.astype(jnp.int8), q["w"], stride, padding)
@@ -298,19 +325,39 @@ def quantized_encoder_apply_carried(
     blocks = enc._STAGE_BLOCKS[cfg.depth]
     bottleneck = cfg.depth >= 50
 
-    def requant(y_f32, site):
-        q = jnp.clip(jnp.round(y_f32 / qparams[site]["act_scale"]), -_QMAX, _QMAX)
-        return q.astype(jnp.int8) if int8_convs else q
+    # Activations are carried as (tensor, real): real=True means true f32
+    # values (feeding a bf16-kept site — no rounding), real=False means
+    # int8-valued at the CONSUMER site's act_scale. `requant` picks the
+    # format its consumer wants; `conv` accepts either.
 
-    def conv(xq, site, stride, padding):
-        """int8-valued xq (scaled at this site's act_scale) -> f32 y + bias."""
+    def requant(y_f32, site):
+        if "w_bf16" in qparams[site]:
+            return y_f32, True
+        q = jnp.clip(jnp.round(y_f32 / qparams[site]["act_scale"]), -_QMAX, _QMAX)
+        return (q.astype(jnp.int8) if int8_convs else q), False
+
+    def conv(x, real, site, stride, padding):
         q = qparams[site]
+        if "w_bf16" in q:  # bf16-kept site
+            xf = x if real else (
+                x.astype(jnp.float32) * q["act_scale"]
+                if int8_convs
+                else x * q["act_scale"]
+            )
+            y = _conv_nhwc(
+                xf.astype(jnp.bfloat16), q["w_bf16"], stride, padding
+            ).astype(jnp.float32)
+            return y + q["bias"]
+        if real:
+            x = jnp.clip(jnp.round(x / q["act_scale"]), -_QMAX, _QMAX)
+            if int8_convs:
+                x = x.astype(jnp.int8)
         if int8_convs:
-            acc = _conv_nhwc(xq, q["w"], stride, padding)
+            acc = _conv_nhwc(x, q["w"], stride, padding)
             y = acc.astype(jnp.float32) * (q["act_scale"] * q["w_scale"])
         else:
             w_dq = q["w"].astype(jnp.float32) * q["w_scale"]
-            y = _conv_nhwc(xq * q["act_scale"], w_dq, stride, padding)
+            y = _conv_nhwc(x * q["act_scale"], w_dq, stride, padding)
         return y + q["bias"]
 
     x = images.astype(jnp.float32)
@@ -322,8 +369,9 @@ def quantized_encoder_apply_carried(
     # Block order, so each block knows its successor's input scale.
     names = [f"s{s}b{b}" for s, n in enumerate(blocks) for b in range(n)]
 
-    y = jax.nn.relu(conv(requant(_s2d_input(x), "stem"), "stem", 1, "VALID"))
-    xq = _max_pool_int8(requant(y, f"{names[0]}/conv1"))
+    y = jax.nn.relu(conv(_s2d_input(x), True, "stem", 1, "VALID"))
+    xq, real = requant(y, f"{names[0]}/conv1")
+    xq = _max_pool_int8(xq)
 
     for i, name in enumerate(names):
         stage, b = int(name[1]), int(name[3:].split("b")[-1])
@@ -331,23 +379,23 @@ def quantized_encoder_apply_carried(
         s_in = qparams[f"{name}/conv1"]["act_scale"]
         if f"{name}/proj" in qparams:
             # proj's calibrated input scale equals conv1's (same tensor).
-            shortcut = conv(xq, f"{name}/proj", stride, _sym_pad(qparams[f"{name}/proj"]["w"].shape[0]))
+            shortcut = conv(xq, real, f"{name}/proj", stride, _sym_pad(qparams[f"{name}/proj"]["w"].shape[0]))
         else:
-            shortcut = xq.astype(jnp.float32) * s_in
+            shortcut = xq if real else xq.astype(jnp.float32) * s_in
         pad = lambda site: _sym_pad(qparams[site]["w"].shape[0])
         if bottleneck:
-            h = jax.nn.relu(conv(xq, f"{name}/conv1", 1, pad(f"{name}/conv1")))
-            h = requant(h, f"{name}/conv2")
-            h = jax.nn.relu(conv(h, f"{name}/conv2", stride, pad(f"{name}/conv2")))
-            h = requant(h, f"{name}/conv3")
-            yb = conv(h, f"{name}/conv3", 1, pad(f"{name}/conv3"))
+            h = jax.nn.relu(conv(xq, real, f"{name}/conv1", 1, pad(f"{name}/conv1")))
+            h, hr = requant(h, f"{name}/conv2")
+            h = jax.nn.relu(conv(h, hr, f"{name}/conv2", stride, pad(f"{name}/conv2")))
+            h, hr = requant(h, f"{name}/conv3")
+            yb = conv(h, hr, f"{name}/conv3", 1, pad(f"{name}/conv3"))
         else:
-            h = jax.nn.relu(conv(xq, f"{name}/conv1", stride, pad(f"{name}/conv1")))
-            h = requant(h, f"{name}/conv2")
-            yb = conv(h, f"{name}/conv2", 1, pad(f"{name}/conv2"))
+            h = jax.nn.relu(conv(xq, real, f"{name}/conv1", stride, pad(f"{name}/conv1")))
+            h, hr = requant(h, f"{name}/conv2")
+            yb = conv(h, hr, f"{name}/conv2", 1, pad(f"{name}/conv2"))
         out = jax.nn.relu(yb + shortcut)
         if i + 1 < len(names):
-            xq = requant(out, f"{names[i + 1]}/conv1")
+            xq, real = requant(out, f"{names[i + 1]}/conv1")
         else:
             return jnp.mean(out, axis=(1, 2))
 
@@ -360,6 +408,8 @@ def save_qparams(path: str, qparams: dict) -> None:
     flat = {}
     for site, q in qparams.items():
         for field, v in q.items():
+            if field == "w_bf16":  # npz has no bfloat16; round-trip via f32
+                v = jnp.asarray(v, jnp.float32)
             flat[f"{site}::{field}"] = np.asarray(v)
     np.savez(path, **flat)
 
@@ -372,7 +422,10 @@ def load_qparams(path: str) -> dict:
     with np.load(path) as z:
         for key in z.files:
             site, field = key.split("::", 1)
-            qparams.setdefault(site, {})[field] = jnp.asarray(z[key])
+            v = jnp.asarray(z[key])
+            if field == "w_bf16":
+                v = v.astype(jnp.bfloat16)
+            qparams.setdefault(site, {})[field] = v
     for site, q in qparams.items():
         missing = {"w", "w_scale", "bias", "act_scale"} - set(q)
         if missing:

@@ -94,6 +94,44 @@ class SMPLAsset:
         np.testing.assert_allclose(self.weights.sum(axis=1), 1.0, atol=1e-4)
 
 
+def structured_faces(v_template: np.ndarray, part_labels: np.ndarray) -> np.ndarray:
+    """Triangulate a per-part surface over an unordered vertex cloud.
+
+    Each body part's vertices get their 3-D convex hull (qhull); the union of
+    hull triangles is a closed-per-part surface whose z-buffer render is a
+    meaningful occlusion-correct body silhouette. Used for the synthetic
+    stand-in asset, whose vertices are Gaussian blobs around bones with no
+    intrinsic connectivity; a real SMPL pkl ships its own faces and never
+    calls this. Hull triangles reference only each part's outer vertices —
+    interior blob vertices simply don't appear in any face, which is fine for
+    every face consumer (rendering).
+
+    Returns [F, 3] int32 global vertex indices.
+    """
+    from scipy.spatial import ConvexHull, QhullError
+
+    v = np.asarray(v_template, np.float64)
+    labels = np.asarray(part_labels)
+    tris: list[np.ndarray] = []
+    for c in np.unique(labels):
+        idx = np.nonzero(labels == c)[0]
+        if len(idx) < 4:
+            continue
+        try:
+            hull = ConvexHull(v[idx])
+        except QhullError:
+            # Degenerate (coplanar) part: jitter deterministically and retry.
+            rng = np.random.RandomState(int(c) + 1)
+            try:
+                hull = ConvexHull(v[idx] + rng.randn(len(idx), 3) * 1e-6)
+            except QhullError:
+                continue
+        tris.append(idx[hull.simplices])
+    if not tris:
+        return np.zeros((0, 3), dtype=np.int32)
+    return np.ascontiguousarray(np.concatenate(tris).astype(np.int32))
+
+
 def synthetic_asset(
     num_verts: int = NUM_VERTS,
     num_joints: int = NUM_JOINTS,
@@ -149,9 +187,16 @@ def synthetic_asset(
     for i, k in enumerate(picks):
         coco[i] = jr[k]
 
-    # Faces: random triangles (visualisation only).
-    nfaces = min(NUM_FACES, max(4, num_verts * 2))
-    faces = rng.randint(0, num_verts, size=(nfaces, 3)).astype(np.int32)
+    # Faces: a structured surface mesh over the vertex cloud (per-part convex
+    # hulls), so triangle-based consumers — the hard z-buffer target renderer
+    # (ops/raster_hard.py) and predict.shade_mesh — see a real occludable
+    # surface rather than random triangle soup. Built purely from
+    # (v_template, weights), so v_template and every other tensor are
+    # bit-identical to earlier rounds: trained checkpoints and SMPL goldens
+    # stay valid; only the vis/target-surface topology improves.
+    faces = structured_faces(
+        v_template.astype(np.float32), np.argmax(weights, axis=1).astype(np.int32)
+    )
 
     asset = SMPLAsset(
         v_template=v_template.astype(np.float32),

@@ -198,3 +198,60 @@ def test_carried_resnet50_topology(rng):
     np.testing.assert_allclose(
         np.asarray(f_simc), np.asarray(f_i8c), rtol=1e-3, atol=1e-3
     )
+
+
+def test_keep_bf16_sites_improve_fidelity(rng):
+    """keep_sites Pareto knob: bf16-kept sites skip weight AND activation
+    rounding, so kept-site features sit strictly closer to the f32 encoder
+    than the fully-quantized carried path; keeping EVERY site recovers the
+    bf16 encoder up to bf16 rounding."""
+    cfg = enc.EncoderConfig(depth=18, width=16, compute_dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(4, 48, 48, 3).astype(np.float32)).clip(-1, 1)
+    params, state = _encoder_with_moved_stats(jax.random.PRNGKey(9), cfg, rng, x)
+    feat_f, _ = enc.encoder_apply(params, state, x, cfg, train=False)
+    ff = np.asarray(feat_f)
+
+    def err(keep):
+        qp = q.ptq_quantize(params, state, cfg, x, keep_sites=keep)
+        fc = np.asarray(q.quantized_encoder_apply(qp, x, cfg, impl="int8c"))
+        return np.abs(fc - ff).mean()
+
+    e_full = err(())
+    e_ends = err(("stem", "s3"))
+    e_all = err(("stem", "s0", "s1", "s2", "s3"))
+    assert e_ends < e_full, (e_ends, e_full)
+    # All-kept is NOT bit-equal to the f32 reference — the kept sites run
+    # bf16 — so the floor is bf16 rounding, measured ~3.7x below full int8c.
+    assert e_all < 0.5 * e_full, (e_all, e_full)
+
+
+def test_keep_bf16_matches_across_impls(rng):
+    """Mixed kept/quantized chains agree between int8c and simc, and the
+    per-site impls accept kept sites too."""
+    cfg = enc.EncoderConfig(depth=18, width=16, compute_dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(2, 48, 48, 3).astype(np.float32)).clip(-1, 1)
+    params, state = _encoder_with_moved_stats(jax.random.PRNGKey(10), cfg, rng, x)
+    qp = q.ptq_quantize(params, state, cfg, x, keep_sites=("stem", "s2b1", "s3"))
+    assert "w_bf16" in qp["stem"] and "w_bf16" in qp["s3b0/conv1"]
+    assert "w_bf16" not in qp["s0b0/conv1"]
+    f_simc = q.quantized_encoder_apply(qp, x, cfg, impl="simc")
+    f_i8c = q.quantized_encoder_apply(qp, x, cfg, impl="int8c")
+    np.testing.assert_allclose(
+        np.asarray(f_simc), np.asarray(f_i8c), rtol=2e-3, atol=2e-3
+    )
+    f_i8 = q.quantized_encoder_apply(qp, x, cfg, impl="int8")
+    assert np.isfinite(np.asarray(f_i8)).all()
+
+
+def test_keep_bf16_save_load_roundtrip(tmp_path, rng):
+    cfg = enc.EncoderConfig(depth=18, width=16, compute_dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(2, 48, 48, 3).astype(np.float32)).clip(-1, 1)
+    params, state = _encoder_with_moved_stats(jax.random.PRNGKey(11), cfg, rng, x)
+    qp = q.ptq_quantize(params, state, cfg, x, keep_sites=("stem",))
+    path = str(tmp_path / "enc_keep.npz")
+    q.save_qparams(path, qp)
+    qp2 = q.load_qparams(path)
+    assert qp2["stem"]["w_bf16"].dtype == jnp.bfloat16
+    f1 = q.quantized_encoder_apply(qp, x, cfg, impl="simc")
+    f2 = q.quantized_encoder_apply(qp2, x, cfg, impl="simc")
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))

@@ -1,0 +1,235 @@
+"""Hard z-buffer target renderer (ops/raster_hard.py): goldens vs the numpy
+oracle, culling diagnostics, and the synthetic stream's hard-target /
+appearance-randomization modes (SURVEY.md §2.8 "target silhouette
+load-or-render" — the renderer-independent supervision channel)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indirect_learning_pose_shape_tpu.data import synthetic
+from indirect_learning_pose_shape_tpu.models import network as net
+from indirect_learning_pose_shape_tpu.ops import raster_hard as rh
+from indirect_learning_pose_shape_tpu.utils import assets
+
+
+def _small_setup(rng, size=64, batch=2):
+    asset = assets.synthetic_asset(num_verts=864)
+    hc = rh.build_hard_consts(asset.faces, asset.part_labels())
+    v = asset.v_template[None] + 0.02 * rng.randn(
+        batch, *asset.v_template.shape
+    ).astype(np.float32)
+    v2d = ((v[..., :2] / (np.abs(v[..., :2]).max() + 0.3)) + 1.0) * 0.5 * (size - 1)
+    return asset, hc, v2d.astype(np.float32), v[..., 2].astype(np.float32)
+
+
+def test_structured_faces_surface():
+    """The stand-in asset's faces form a per-part surface: every face's three
+    corners share one part label, and indices are in range."""
+    asset = assets.synthetic_asset(num_verts=864)
+    assert len(asset.faces) > 100
+    assert asset.faces.min() >= 0 and asset.faces.max() < asset.num_verts
+    corner_labels = asset.part_labels()[asset.faces]
+    assert (corner_labels == corner_labels[:, :1]).all()
+
+
+def test_hard_raster_matches_oracle(rng):
+    _, hc, v2d, vz = _small_setup(rng)
+    out = jax.jit(lambda a, b: rh.hard_raster(a, b, hc, 64))(v2d, vz)
+    assert int(out["overflow"]) == 0
+    for i in range(v2d.shape[0]):
+        lab_o, zb_o = rh.hard_raster_oracle(
+            v2d[i], vz[i], np.asarray(hc.faces), np.asarray(hc.face_class), 64
+        )
+        lab_j = np.asarray(out["part_labels"][i])
+        assert (lab_o > 0).mean() > 0.05, "fixture should cover some pixels"
+        # Bit-exact in practice (same inside test, same z convention); allow
+        # a tiny tolerance for z-ties resolved in a different face order.
+        assert (lab_o == lab_j).mean() > 0.995
+        sil_j = np.asarray(out["silhouette"][i])
+        np.testing.assert_array_equal(sil_j > 0, lab_o > 0)
+
+
+def test_hard_raster_culled_matches_dense(rng):
+    _, hc, v2d, vz = _small_setup(rng)
+    dense = jax.jit(lambda a, b: rh.hard_raster(a, b, hc, 64))(v2d, vz)
+    k = int(hc.faces.shape[0])  # K = F: culling machinery on, nothing dropped
+    culled = jax.jit(
+        lambda a, b: rh.hard_raster(a, b, hc, 64, tile=16, k_faces=k - 1)
+    )(v2d, vz)
+    assert int(culled["overflow"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(culled["part_labels"]), np.asarray(dense["part_labels"])
+    )
+
+
+def test_hard_raster_overflow_reported(rng):
+    """Undersized k_faces must be *diagnosed*, not silent."""
+    _, hc, v2d, vz = _small_setup(rng)
+    out = jax.jit(lambda a, b: rh.hard_raster(a, b, hc, 64, tile=32, k_faces=8))(
+        v2d, vz
+    )
+    assert int(out["overflow"]) > 0
+
+
+def test_hard_raster_shade_range(rng):
+    _, hc, v2d, vz = _small_setup(rng)
+    out = jax.jit(
+        lambda a, b: rh.hard_raster(a, b, hc, 64, with_shade=True)
+    )(v2d, vz)
+    shade = np.asarray(out["shade"])
+    fg = np.asarray(out["silhouette"]) > 0
+    assert shade[~fg].max() == 0.0
+    assert (shade[fg] >= 0.25 - 1e-6).all() and (shade[fg] <= 1.0 + 1e-6).all()
+
+
+def _tiny_model(size=64):
+    cfg = net.ModelConfig(image_size=size)
+    cfg = dataclasses.replace(
+        cfg,
+        raster=dataclasses.replace(cfg.raster, image_size=size),
+        smpl_impl="xla",
+        raster_impl="xla",
+    )
+    asset = assets.synthetic_asset(num_verts=864)
+    return asset, cfg, net.build_consts(asset, cfg)
+
+
+def test_synthetic_hard_targets():
+    _, cfg, consts = _tiny_model()
+    key = jax.random.PRNGKey(3)
+    scfg = synthetic.SyntheticConfig(targets="hard")
+    batch = jax.jit(lambda k: synthetic.generate_batch(k, 4, consts, cfg, scfg))(key)
+    lab = np.asarray(batch["part_labels"])
+    sil = np.asarray(batch["silhouette"])
+    assert lab.dtype == np.int32 and set(np.unique(sil)) <= {0.0, 1.0}
+    assert 0.01 < (lab > 0).mean() < 0.8
+    np.testing.assert_array_equal(lab > 0, sil > 0)
+    # Hard and soft targets share the geometry but not the renderer: same
+    # body region (high IoU), different boundary family (not identical).
+    soft = jax.jit(
+        lambda k: synthetic.generate_batch(
+            k, 4, consts, cfg, synthetic.SyntheticConfig()
+        )
+    )(key)
+    ssil = np.asarray(soft["silhouette"])
+    inter, union = (sil * ssil).sum(), ((sil + ssil) > 0).sum()
+    assert 0.4 < inter / union < 0.999
+    # Θ ground truth identical across target modes (same key → same sample).
+    np.testing.assert_array_equal(
+        np.asarray(batch["gt_pose"]), np.asarray(soft["gt_pose"])
+    )
+
+
+def test_synthetic_appearance_randomization():
+    """Appearance knobs change the image but never the targets."""
+    _, cfg, consts = _tiny_model()
+    key = jax.random.PRNGKey(5)
+    plain = synthetic.SyntheticConfig(targets="hard")
+    fancy = synthetic.SyntheticConfig(
+        targets="hard",
+        bg_mode="texture",
+        color_jitter=0.08,
+        shading=0.6,
+        occluders=2,
+    )
+    b_plain = jax.jit(lambda k: synthetic.generate_batch(k, 4, consts, cfg, plain))(key)
+    b_fancy = jax.jit(lambda k: synthetic.generate_batch(k, 4, consts, cfg, fancy))(key)
+    np.testing.assert_array_equal(
+        np.asarray(b_plain["part_labels"]), np.asarray(b_fancy["part_labels"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b_plain["kp2d"]), np.asarray(b_fancy["kp2d"])
+    )
+    img_delta = np.abs(
+        np.asarray(b_plain["image"]) - np.asarray(b_fancy["image"])
+    ).mean()
+    assert img_delta > 0.05
+    # Background is no longer a constant color: per-image bg-pixel variance.
+    bg = np.asarray(b_fancy["silhouette"]) == 0
+    img = np.asarray(b_fancy["image"])
+    bg_std = np.stack([img[i][bg[i]].std() for i in range(4)])
+    assert (bg_std > 0.1).all()
+
+
+def test_synthetic_appearance_knobs_on_soft_targets():
+    _, cfg, consts = _tiny_model()
+    key = jax.random.PRNGKey(6)
+    scfg = synthetic.SyntheticConfig(bg_mode="noise", color_jitter=0.05, occluders=1)
+    batch = jax.jit(lambda k: synthetic.generate_batch(k, 2, consts, cfg, scfg))(key)
+    assert np.isfinite(np.asarray(batch["image"])).all()
+    # Targets equal the default-config targets (appearance is image-only).
+    base = jax.jit(
+        lambda k: synthetic.generate_batch(
+            k, 2, consts, cfg, synthetic.SyntheticConfig()
+        )
+    )(key)
+    np.testing.assert_array_equal(
+        np.asarray(batch["part_labels"]), np.asarray(base["part_labels"])
+    )
+
+
+def test_shading_requires_hard_targets():
+    _, cfg, consts = _tiny_model()
+    with pytest.raises(ValueError, match="shading"):
+        synthetic.generate_batch(
+            jax.random.PRNGKey(0),
+            2,
+            consts,
+            cfg,
+            synthetic.SyntheticConfig(shading=0.5),
+        )
+
+
+def test_apply_overrides_new_fields():
+    c = synthetic.apply_overrides(
+        synthetic.SyntheticConfig(),
+        ["targets=hard", "bg_mode=texture", "occluders=3", "shading=0.5"],
+    )
+    assert (c.targets, c.bg_mode, c.occluders, c.shading) == (
+        "hard",
+        "texture",
+        3,
+        0.5,
+    )
+    with pytest.raises(ValueError, match="soft.*hard"):
+        synthetic.apply_overrides(synthetic.SyntheticConfig(), ["targets=medium"])
+    with pytest.raises(ValueError, match="occluders"):
+        synthetic.apply_overrides(synthetic.SyntheticConfig(), ["occluders=two"])
+
+
+def test_default_stream_unchanged_by_appearance_plumbing():
+    """The default-config stream must stay bit-stable across rounds: every
+    protocol quality row is scored on held-out batches of this stream."""
+    _, cfg, consts = _tiny_model()
+    key = jax.random.PRNGKey(123)
+    b = jax.jit(
+        lambda k: synthetic.generate_batch(
+            k, 2, consts, cfg, synthetic.SyntheticConfig()
+        )
+    )(key)
+    # Spot-anchor: a change to the key-split layout or palette plumbing moves
+    # these digests. Values recorded from the round-3 code path (verified
+    # bit-identical at the refactor, tests/test_raster_hard.py history).
+    img = np.asarray(b["image"], np.float64)
+    assert np.isfinite(img).all()
+    lab = np.asarray(b["part_labels"])
+    digest = (float(img.sum()), int(lab.sum()), float(np.asarray(b["kp2d"]).sum()))
+    stored = synthetic_digest_v1()
+    if stored is not None:
+        assert np.allclose(digest, stored, rtol=1e-5), (
+            f"default synthetic stream moved: {digest} != {stored}"
+        )
+
+
+def synthetic_digest_v1():
+    """Digest of the default stream recorded at the round-4 refactor (tiny
+    asset, 64², batch 2, seed 123). None disables the anchor (e.g. if the
+    tiny fixture itself changes deliberately — update the constant then)."""
+    return _DIGEST_V1
+
+
+_DIGEST_V1 = (-18057.079485297203, 14981, 2783.94482421875)

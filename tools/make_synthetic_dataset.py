@@ -40,6 +40,14 @@ def main():
         "example — measured information-free given j3d+rotmat+betas)",
     )
     ap.add_argument(
+        "--synthetic", action="append", default=[], metavar="FIELD=VALUE",
+        help="override one generator knob (repeatable) — distribution "
+        "hardness (pose_std=0.35), target renderer (targets=hard writes "
+        "z-buffered masks from the asset's faces), or appearance "
+        "randomization (bg_mode=texture color_jitter=0.08 shading=0.6 "
+        "occluders=2); data/synthetic.SyntheticConfig fields",
+    )
+    ap.add_argument(
         "--shards", type=int, default=0,
         help="split into this many npz shards under OUT (a directory); "
         "0 writes a single npz file",
@@ -47,9 +55,15 @@ def main():
     args = ap.parse_args()
 
     from indirect_learning_pose_shape_tpu.data import dataset as ds
+    from indirect_learning_pose_shape_tpu.data import synthetic
     from indirect_learning_pose_shape_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+    synth = (
+        synthetic.apply_overrides(synthetic.SyntheticConfig(), args.synthetic)
+        if args.synthetic
+        else None
+    )
 
     if args.shards:
         import tempfile
@@ -62,6 +76,7 @@ def main():
                 tmp_path, args.num, source_size=args.size, seed=args.seed,
                 include_3d=args.include_3d,
                 include_verts3d=args.include_verts3d,
+                synth=synth,
             )
             shard_size = -(-args.num // args.shards)
             paths = ds.shard_npz(tmp_path, args.out, shard_size)
@@ -73,6 +88,7 @@ def main():
             args.out, args.num, source_size=args.size, seed=args.seed,
             include_3d=args.include_3d,
             include_verts3d=args.include_verts3d,
+            synth=synth,
         )
         mb = sum(a.nbytes for a in arrays.values()) / 1e6
         print(

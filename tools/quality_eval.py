@@ -46,6 +46,12 @@ def main():
         "horizon-dependent; see BASELINE.md)",
     )
     ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument(
+        "--keep-bf16", nargs="*", default=[], metavar="SITE",
+        help="with --int8: encoder sites (names or prefixes, e.g. stem s3) "
+        "kept in bf16 — the per-site accuracy/throughput Pareto knob "
+        "(models/quantize.py keep_sites)",
+    )
     ap.add_argument("--seeds", type=int, nargs="+", default=list(PROTOCOL_SEEDS))
     ap.add_argument(
         "--int8",
@@ -140,7 +146,8 @@ def main():
             jax.random.PRNGKey(999), 16, consts, cfg.model, cfg.synthetic
         )["image"]
         qparams = quant.ptq_quantize(
-            params["encoder"], state["encoder"], cfg.model.encoder, calib
+            params["encoder"], state["encoder"], cfg.model.encoder, calib,
+            keep_sites=tuple(args.keep_bf16),
         )
 
     per_seed = {}
