@@ -139,7 +139,7 @@ def hard_raster(
     *,
     tile: int = 32,
     k_faces: int | None = None,
-    chunk: int = 16,
+    chunk: int = 64,
     with_shade: bool = False,
     light=(0.35, -0.5, 0.79),
 ) -> dict[str, jax.Array]:
@@ -250,43 +250,60 @@ def hard_raster(
         2, 0, 1, 3
     )
 
-    def body(carry, xs):
-        zbest, cbest, sbest = carry
-        cf, cc, cl = xs  # [B, nt|1, chunk, 13], [B, nt|1, chunk], …
-        # Evaluate the 4 affine functions at this tile's pixels.
-        # [B, nt|1, chunk, 1] × [nt, tile²] → [B, nt, chunk, tile²]
+    def eval_z(cf, cl):
+        """Evaluate this chunk's faces at this tile's pixels:
+        [B, nt|1, chunk, 1] × [nt, tile²] → z [B, nt, chunk, tile²]
+        (−NEG where outside/dead). Pure elementwise broadcast work."""
         w0 = cf[..., 0:1] * pxf[:, None] + cf[..., 1:2] * pyf[:, None] + cf[..., 2:3]
         w1 = cf[..., 3:4] * pxf[:, None] + cf[..., 4:5] * pyf[:, None] + cf[..., 5:6]
         w2 = cf[..., 6:7] * pxf[:, None] + cf[..., 7:8] * pyf[:, None] + cf[..., 8:9]
         z = cf[..., 9:10] * pxf[:, None] + cf[..., 10:11] * pyf[:, None] + cf[..., 11:12]
-        inside = (
-            (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & cl[..., None]
-        )
-        z = jnp.where(inside, z, _NEG)
-        zc = jnp.max(z, axis=2)  # [B, nt, tile²]
-        arg = jnp.argmax(z, axis=2)
-        cc = jnp.broadcast_to(cc[..., None], z.shape[:2] + z.shape[2:])
-        ccw = jnp.take_along_axis(
-            cc, arg[:, :, None, :], axis=2
-        )[:, :, 0]
-        scw = jnp.take_along_axis(
-            jnp.broadcast_to(cf[..., 12:13], z.shape[:2] + z.shape[2:]),
-            arg[:, :, None, :],
-            axis=2,
-        )[:, :, 0]
-        upd = zc > zbest
-        return (
-            jnp.where(upd, zc, zbest),
-            jnp.where(upd, ccw, cbest),
-            jnp.where(upd, scw, sbest),
-        ), None
+        inside = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & cl[..., None]
+        return jnp.where(inside, z, _NEG)
 
-    init = (
+    # Two passes, both gather-free: pass 1 is a pure max-reduce for the
+    # z-buffer; pass 2 re-evaluates and where-accumulates the winning face's
+    # class/shade at pixels whose z matches the buffer (the recompute is
+    # bit-deterministic — identical ops on identical inputs). The obvious
+    # single-pass carry (argmax over the chunk + take_along_axis of the
+    # winner) measured ~300× slower on TPU: per-element dynamic gathers in a
+    # scan body are poison for the vector unit, while max/where streams are
+    # exactly what it is built for. Equal-z ties resolve to the largest
+    # class id (deterministic; ties occur only on shared hull edges, where
+    # both faces carry the same part anyway).
+
+    def body_z(zbest, xs):
+        cf, cl = xs
+        return jnp.maximum(zbest, jnp.max(eval_z(cf, cl), axis=2)), None
+
+    zbuf, _ = jax.lax.scan(
+        body_z,
         jnp.full((B, nt, tile * tile), _NEG, jnp.float32),
-        jnp.zeros((B, nt, tile * tile), jnp.int32),
-        jnp.zeros((B, nt, tile * tile), jnp.float32),
+        (cs, live),
     )
-    (zbuf, cwin, swin), _ = jax.lax.scan(body, init, (cs, cls, live))
+
+    def body_win(carry, xs):
+        cbest, sbest = carry
+        cf, cc, cl = xs
+        z = eval_z(cf, cl)
+        hit = z >= zbuf[:, :, None, :]
+        cbest = jnp.maximum(
+            cbest, jnp.max(jnp.where(hit, cc[..., None] + 1, 0), axis=2)
+        )
+        if with_shade:
+            sbest = jnp.maximum(
+                sbest, jnp.max(jnp.where(hit, cf[..., 12:13], 0.0), axis=2)
+            )
+        return (cbest, sbest), None
+
+    (cwin, swin), _ = jax.lax.scan(
+        body_win,
+        (
+            jnp.zeros((B, nt, tile * tile), jnp.int32),
+            jnp.zeros((B, nt, tile * tile), jnp.float32),
+        ),
+        (cs, cls, live),
+    )
 
     def detile(a):
         # [B, ty*T+tx, oy*tile+ox] → [B, S, S]
@@ -298,8 +315,9 @@ def hard_raster(
 
     zbuf = detile(zbuf)
     covered = zbuf > _NEG / 2
+    # cwin already carries class+1 (0 = no face won the pixel).
     out = {
-        "part_labels": jnp.where(covered, detile(cwin) + 1, 0).astype(jnp.int32),
+        "part_labels": jnp.where(covered, detile(cwin), 0).astype(jnp.int32),
         "silhouette": covered.astype(jnp.float32),
         "zbuf": zbuf,
         "overflow": overflow,
