@@ -59,6 +59,15 @@ class EncoderConfig:
     # reshuffle traffic. Default stays 'strided'; the s2d form remains the
     # measured-and-rejected alternative (see maxpool_grad for the pattern).
     stride2_impl: str = "strided"
+    # Block 1x1 convs: 'conv' = lax.conv_general_dilated, 'dot' = rank-4
+    # dot_general over the channel dim (stride 2 slices the input grid
+    # first — same pixels, padding is 0 for k=1 either way). Identical math;
+    # the difference is the BACKWARD: a dot transposes into two dots, so the
+    # wgrad is one [Cin, B·H·W]×[B·H·W, Cout] MXU matmul instead of XLA's
+    # conv-wgrad path. Targets the R50 bottleneck blocks, where 1x1s carry
+    # ~2/3 of the conv FLOPs and the round-3 audit measured backward convs
+    # at ~16% of bf16 peak (docs/DESIGN.md round-4 R50 audit for the verdict).
+    conv1x1: str = "conv"
     # Eval-path conv+BN folding: at inference BN is a per-channel affine of
     # frozen running stats, so it folds into the preceding conv's weights
     # (w *= scale/sqrt(var+eps), plus a bias term) — one fewer full
@@ -142,12 +151,32 @@ def _conv_s2d_3x3_s2(x, w):
     )
 
 
-def _conv2(x, w, stride: int, impl: str):
+def _conv_1x1_dot(x, w, stride):
+    """1x1 conv as a rank-4 dot_general (stride 2 = every-other-pixel slice).
+
+    Identical math to `_conv` for k=1 (padding is 0 either way; the stride-2
+    grid starts at pixel 0 in both forms, odd or even H/W). The point is the
+    BACKWARD: XLA transposes a dot into two dots — wgrad becomes one
+    [Cin, B·H·W]×[B·H·W, Cout] matmul on the MXU — whereas the conv form's
+    wgrad goes through the conv-backward path the R50 audit measured at ~16%
+    of bf16 peak on the 1x1-heavy bottleneck blocks (docs/DESIGN.md round-4
+    audit; EncoderConfig.conv1x1).
+    """
+    if stride == 2:
+        x = x[:, ::2, ::2, :]
+    return jax.lax.dot_general(
+        x, w[0, 0].astype(x.dtype), (((3,), (0,)), ((), ()))
+    )
+
+
+def _conv2(x, w, stride: int, impl: str, conv1x1: str = "conv"):
     """Stride-dispatching conv: the s2d rewrites apply only where they help.
 
     1x1/2 under 's2d' drops the dead input rows/cols BEFORE the matmul
     (y[i,j] = w·x[2i,2j] exactly); its backward is a dense zero-pad.
     """
+    if w.shape[0] == 1 and w.shape[1] == 1 and conv1x1 == "dot":
+        return _conv_1x1_dot(x, w, stride)
     if stride == 2 and impl == "s2d" and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
         if w.shape[0] == 3:
             return _conv_s2d_3x3_s2(x, w)
@@ -364,7 +393,7 @@ def _block_apply(x, p, s, cfg: EncoderConfig, stride: int, train: bool):
     def cb(x, wname, bnname, st):
         return _conv_bn(
             x, p[wname], p[bnname], s[bnname], cfg, train,
-            lambda x, w: _conv2(x, w, st, cfg.stride2_impl),
+            lambda x, w: _conv2(x, w, st, cfg.stride2_impl, cfg.conv1x1),
         )
 
     if "proj" in p:

@@ -101,6 +101,39 @@ def test_stride2_s2d_matches_strided(rng):
     assert fo.shape == (1, cfg_b.feature_dim)
 
 
+def test_conv1x1_dot_matches_conv(rng):
+    """conv1x1='dot' (rank-4 dot_general) is the same function as the 1x1
+    conv, at both strides — op-level forward + input/weight grads (f32
+    roundoff only; see test_stride2_s2d_matches_strided's note on why
+    train-mode full-net comparison is invalid), then a full R50 eval-mode
+    forward where the bottleneck blocks exercise every 1x1 call site."""
+    for h, stride in ((8, 1), (8, 2), (7, 2)):
+        x = jnp.asarray(rng.randn(2, h, h, 16).astype(np.float32))
+        w = jnp.asarray(rng.randn(1, 1, 16, 24).astype(np.float32) * 0.1)
+        a = enc._conv(x, w, stride)
+        b = enc._conv2(x, w, stride, "strided", "dot")
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=5e-5)
+        ga = jax.grad(lambda x, w: jnp.sum(enc._conv(x, w, stride) ** 2), (0, 1))(x, w)
+        gb = jax.grad(
+            lambda x, w: jnp.sum(enc._conv2(x, w, stride, "strided", "dot") ** 2),
+            (0, 1),
+        )(x, w)
+        for la, lb in zip(ga, gb):
+            scale = float(jnp.abs(la).max()) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(la) / scale, np.asarray(lb) / scale, rtol=0, atol=1e-5
+            )
+
+    cfg_a = enc.EncoderConfig(depth=50, width=8, compute_dtype=jnp.float32)
+    cfg_b = dataclasses.replace(cfg_a, conv1x1="dot")
+    params, state = enc.encoder_init(jax.random.PRNGKey(3), cfg_a)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    fa, _ = enc.encoder_apply(params, state, x, cfg_a, train=False)
+    fb, _ = enc.encoder_apply(params, state, x, cfg_b, train=False)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), rtol=0, atol=2e-5)
+
+
 def test_ief_starts_at_mean_theta():
     cfg = ief_mod.IEFConfig(hidden_dims=(64,), num_joints=4, num_betas=4, num_cam=3)
     mean = np.arange(cfg.theta_dim, dtype=np.float32) * 0.1
