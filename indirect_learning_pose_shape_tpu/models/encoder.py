@@ -65,8 +65,9 @@ class EncoderConfig:
     # the difference is the BACKWARD: a dot transposes into two dots, so the
     # wgrad is one [Cin, B·H·W]×[B·H·W, Cout] MXU matmul instead of XLA's
     # conv-wgrad path. Targets the R50 bottleneck blocks, where 1x1s carry
-    # ~2/3 of the conv FLOPs and the round-3 audit measured backward convs
-    # at ~16% of bf16 peak (docs/DESIGN.md round-4 R50 audit for the verdict).
+    # 51% of the conv FLOPs (177 of 345 GFLOP fwd at b32/256²) and the
+    # round-3 audit measured backward convs at ~16% of bf16 peak
+    # (docs/DESIGN.md round-4 R50 audit).
     conv1x1: str = "conv"
     # Eval-path conv+BN folding: at inference BN is a per-channel affine of
     # frozen running stats, so it folds into the preceding conv's weights

@@ -22,12 +22,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 
-def capture(preset: str, out_dir: str, steps: int, batch_size: int) -> str:
+def capture(
+    preset: str, out_dir: str, steps: int, batch_size: int,
+    conv1x1: str | None = None,
+) -> str:
     import dataclasses
 
     from indirect_learning_pose_shape_tpu import configs, train
 
     cfg = dataclasses.replace(configs.PRESETS[preset], batch_size=batch_size)
+    if conv1x1:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                encoder=dataclasses.replace(cfg.model.encoder, conv1x1=conv1x1),
+            ),
+        )
     ts, consts = train.init_state(cfg)
     fused = train.compile_fused_step(cfg, consts)
     for _ in range(3):
@@ -119,8 +130,14 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--top", type=int, default=20)
+    ap.add_argument(
+        "--conv1x1", default=None, choices=["conv", "dot"],
+        help="override EncoderConfig.conv1x1 (the R50 backward-conv audit's "
+        "A/B lever; docs/DESIGN.md round-4 audit)",
+    )
     args = ap.parse_args()
-    trace = capture(args.preset, args.out, args.steps, args.batch_size)
+    trace = capture(args.preset, args.out, args.steps, args.batch_size,
+                    conv1x1=args.conv1x1)
     report(trace, args.steps, args.top)
 
 
