@@ -363,6 +363,14 @@ def main():
         "instead of the raw ones (requires a run with ema_decay>0)",
     )
     ap.add_argument(
+        "--eval-suite",
+        default=None,
+        choices=["plain", "hard", "hardapp"],
+        help="named eval distribution (data/synthetic.EVAL_SUITES; the "
+        "quality protocol's fixed FIELD=VALUE sets) — synthetic-stream "
+        "scoring only; explicit --synthetic overrides apply on top",
+    )
+    ap.add_argument(
         "--synthetic",
         action="append",
         default=None,
@@ -378,14 +386,17 @@ def main():
     from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
 
     cfg = configs.PRESETS[args.preset]
-    if args.synthetic:
+    specs = list(synthetic.EVAL_SUITES[args.eval_suite]) if args.eval_suite else []
+    specs += list(args.synthetic or [])
+    if specs:
         if args.dataset or args.image_dir:
-            ap.error("--synthetic applies to synthetic-stream scoring only")
+            ap.error("--eval-suite/--synthetic apply to synthetic-stream "
+                     "scoring only")
         import dataclasses as _dc
 
         try:
             cfg = _dc.replace(
-                cfg, synthetic=synthetic.apply_overrides(cfg.synthetic, args.synthetic)
+                cfg, synthetic=synthetic.apply_overrides(cfg.synthetic, specs)
             )
         except ValueError as e:
             ap.error(str(e))

@@ -201,6 +201,19 @@ def test_apply_overrides_new_fields():
         synthetic.apply_overrides(synthetic.SyntheticConfig(), ["occluders=two"])
 
 
+def test_eval_suites_resolve():
+    """The protocol's named eval distributions (EVAL_SUITES) must stay
+    apply_overrides-valid: quality_eval/evaluate --eval-suite trusts them."""
+    for name, specs in synthetic.EVAL_SUITES.items():
+        c = synthetic.apply_overrides(synthetic.SyntheticConfig(), list(specs))
+        if name == "plain":
+            assert c == synthetic.SyntheticConfig()
+    c = synthetic.apply_overrides(
+        synthetic.SyntheticConfig(), list(synthetic.EVAL_SUITES["hardapp"])
+    )
+    assert c.targets == "hard" and c.bg_mode == "texture" and c.occluders == 2
+
+
 def test_default_stream_unchanged_by_appearance_plumbing():
     """The default-config stream must stay bit-stable across rounds: every
     protocol quality row is scored on held-out batches of this stream."""

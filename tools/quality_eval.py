@@ -90,6 +90,15 @@ def main():
         "requires the matching format",
     )
     ap.add_argument(
+        "--eval-suite",
+        default=None,
+        choices=["plain", "hard", "hardapp"],
+        help="named eval distribution (data/synthetic.EVAL_SUITES): the "
+        "protocol's fixed FIELD=VALUE sets — 'hard' = renderer-independent "
+        "z-buffer targets, 'hardapp' = hard targets + domain-randomized "
+        "appearance; explicit --synthetic overrides apply on top",
+    )
+    ap.add_argument(
         "--synthetic",
         action="append",
         default=None,
@@ -109,7 +118,14 @@ def main():
     from indirect_learning_pose_shape_tpu.utils import assets as assets_lib
 
     cfg = configs.PRESETS[args.preset]
+    specs = []
+    if args.eval_suite:
+        from indirect_learning_pose_shape_tpu.data import synthetic as synth_lib
+
+        specs += list(synth_lib.EVAL_SUITES[args.eval_suite])
     if args.synthetic:
+        specs += list(args.synthetic)
+    if specs:
         import dataclasses
 
         from indirect_learning_pose_shape_tpu.data import synthetic as synth_lib
@@ -117,7 +133,7 @@ def main():
         try:
             cfg = dataclasses.replace(
                 cfg,
-                synthetic=synth_lib.apply_overrides(cfg.synthetic, args.synthetic),
+                synthetic=synth_lib.apply_overrides(cfg.synthetic, specs),
             )
         except ValueError as e:
             ap.error(str(e))
@@ -175,7 +191,8 @@ def main():
         "int8": args.int8,
         "int8_impl": args.int8_impl if args.int8 else None,
         "ema": args.ema,
-        "synthetic": args.synthetic,
+        "eval_suite": args.eval_suite,
+        "synthetic": specs or None,
         "metrics": summary,
     }
     print(json.dumps(out))
