@@ -31,6 +31,7 @@ import threading
 from typing import Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -350,8 +351,16 @@ def make_synthetic_dataset(
     # (the raster works per-pixel-chunk but batch still multiplies memory).
     chunk = min(num_examples, 64)
     synth_cfg = synth if synth is not None else synthetic.SyntheticConfig()
-    gen = jax.jit(
-        lambda k: synthetic.generate_batch(
+    # The jitted generator returns STORAGE dtypes (uint8 images/masks) and
+    # only the stored keys: on a tunneled TPU the device→host fetch is the
+    # bottleneck (~30 MB/s measured), so quantizing on device cuts the
+    # transfer 4x vs fetching f32 images + i32 labels, and dropping the
+    # unstored generate_batch outputs (silhouettes, scores) saves their
+    # fetch entirely. Host-side chunks are also storage-dtype, so peak RSS
+    # is ~2x the final dataset instead of the 40+ GB measured for a
+    # 20k×320² dataset when raw f32 chunks were accumulated and concatenated.
+    def _storage_batch(k):
+        b = synthetic.generate_batch(
             k,
             chunk,
             consts,
@@ -359,30 +368,24 @@ def make_synthetic_dataset(
             synth_cfg,
             include_3d=include_3d or include_verts3d,
         )
-    )
-    # Convert each chunk to its STORAGE dtype as it lands on the host: images
-    # to uint8, labels to uint8. Accumulating raw device outputs (f32 images,
-    # i32 labels) quadruples host RSS and adds a dataset-sized copy at the
-    # final concat — measured 40+ GB peak for a 20k×320² dataset vs ~9 GB
-    # this way, on a host that is already D2H-bound through the TPU tunnel.
-    def _to_storage(batch, take):
         out = {
-            "images": np.asarray(
-                (np.asarray(batch["image"][:take]) + 1.0) * 127.5, dtype=np.uint8
+            "images": jnp.clip((b["image"] + 1.0) * 127.5, 0, 255).astype(
+                jnp.uint8
             ),
-            "masks": np.asarray(batch["part_labels"][:take], dtype=np.uint8),
-            "kp2d": np.asarray(batch["kp2d"][:take], dtype=np.float32),
-            "kp_vis": np.asarray(batch["kp_vis"][:take], dtype=np.float32),
-            "gt_pose": np.asarray(batch["gt_pose"][:take], dtype=np.float32),
-            "gt_betas": np.asarray(batch["gt_betas"][:take], dtype=np.float32),
+            "masks": b["part_labels"].astype(jnp.uint8),
+            "kp2d": b["kp2d"].astype(jnp.float32),
+            "kp_vis": b["kp_vis"].astype(jnp.float32),
+            "gt_pose": b["gt_pose"].astype(jnp.float32),
+            "gt_betas": b["gt_betas"].astype(jnp.float32),
         }
         if include_3d:
-            out["joints3d"] = np.asarray(batch["gt_joints3d"][:take], np.float32)
-            out["rotmats"] = np.asarray(batch["gt_rotmats"][:take], np.float32)
+            out["joints3d"] = b["gt_joints3d"].astype(jnp.float32)
+            out["rotmats"] = b["gt_rotmats"].astype(jnp.float32)
         if include_verts3d:
-            out["verts3d"] = np.asarray(batch["gt_verts"][:take], np.float32)
+            out["verts3d"] = b["gt_verts"].astype(jnp.float32)
         return out
 
+    gen = jax.jit(_storage_batch)
     parts: list = []
     key = jax.random.PRNGKey(seed)
     remaining = num_examples
@@ -390,7 +393,7 @@ def make_synthetic_dataset(
         key, sub = jax.random.split(key)
         batch = gen(sub)
         take = min(chunk, remaining)
-        parts.append(_to_storage(batch, take))
+        parts.append(jax.tree.map(lambda x: np.asarray(x[:take]), batch))
         remaining -= take
     arrays = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
     if path:
