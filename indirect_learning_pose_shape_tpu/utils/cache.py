@@ -18,12 +18,29 @@ from __future__ import annotations
 import os
 
 
+_DEFAULT_DIR = "~/.cache/ilps_jax_cache"
+
+# Tokens users plausibly mean as booleans, not directory names. "1"/"on"
+# etc. once created a literal ./1/ directory full of binary jit blobs that
+# got committed; treat them as "use the default dir" instead.
+_TRUTHY = {"1", "true", "on", "yes"}
+_FALSY = {"", "0", "false", "off", "no"}
+
+
+def resolve_cache_dir(raw: str) -> str | None:
+    """Map the env token to a cache directory (None = disabled)."""
+    token = raw.strip()
+    if token.lower() in _FALSY:
+        return None
+    if token.lower() in _TRUTHY:
+        return os.path.expanduser(_DEFAULT_DIR)
+    return os.path.expanduser(token)
+
+
 def enable_compile_cache() -> str | None:
     """Idempotent; call before the first jit. Returns the cache dir or None."""
-    cache_dir = os.environ.get(
-        "ILPS_COMPILE_CACHE", os.path.expanduser("~/.cache/ilps_jax_cache")
-    )
-    if not cache_dir or cache_dir == "0":
+    cache_dir = resolve_cache_dir(os.environ.get("ILPS_COMPILE_CACHE", _DEFAULT_DIR))
+    if cache_dir is None:
         return None
     import jax
 

@@ -217,3 +217,19 @@ def test_shade_mesh_empty_faces():
         16,
     )
     assert (img == 0).all()
+
+
+def test_cache_dir_env_parsing():
+    """Boolean-ish tokens must map to the default dir / disabled, never a
+    literal ./1 directory (regression: binary jit blobs got committed)."""
+    import os
+
+    from indirect_learning_pose_shape_tpu.utils.cache import resolve_cache_dir
+
+    default = os.path.expanduser("~/.cache/ilps_jax_cache")
+    for tok in ("1", "true", "ON", "yes "):
+        assert resolve_cache_dir(tok) == default
+    for tok in ("", "0", "false", "OFF", "no"):
+        assert resolve_cache_dir(tok) is None
+    assert resolve_cache_dir("/tmp/mycache") == "/tmp/mycache"
+    assert resolve_cache_dir("~/x") == os.path.expanduser("~/x")
