@@ -173,6 +173,48 @@ def config4_full_train(asset, steps):
     )
 
 
+def config7_hard_targets(asset, steps, batches=(32, 128), k_faces=(0, 512)):
+    """Hard-target (z-buffer) training cost: the full config4_r34 train
+    step with `targets=hard` — what the robust recipes actually pay per
+    step versus the ~13 ms soft-target step. Dense vs top_k-culled face
+    modes; k=512's zero-overflow validity on this distribution is asserted
+    by tests/test_raster_hard.py (dropped faces would silently corrupt
+    targets, so the budget is test-gated, not assumed)."""
+    from indirect_learning_pose_shape_tpu import configs, train
+
+    for k in k_faces:
+        for b in batches:
+            cfg = dataclasses.replace(
+                configs.CONFIG4_R34,
+                batch_size=b,
+                synthetic=dataclasses.replace(
+                    configs.CONFIG4_R34.synthetic, targets="hard", hard_k_faces=k
+                ),
+            )
+            ts, consts = train.init_state(cfg, asset)
+            gen_fn, step_fn = train.compile_train_fns(cfg, consts)
+
+            def one_step(ts):
+                batch = gen_fn(ts.rng, ts.step)
+                ts, terms = step_fn(ts, batch)
+                return ts, terms
+
+            for _ in range(2):
+                ts, terms = one_step(ts)
+            _fence(terms["total"])
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                ts, terms = one_step(ts)
+            _fence(terms["total"])
+            dt = (time.perf_counter() - t0) / steps
+            _emit(
+                f"config7_hard_train_b{b}_k{k or 'dense'}",
+                b / dt,
+                "train images/sec/chip (hard z-buffer targets)",
+                ms_per_step=round(dt * 1e3, 2),
+            )
+
+
 def config6_inference(asset, steps):
     """Flagship inference throughput (BASELINE.json:2 images/sec/chip):
     full forward — encoder → IEF → SMPL → projection — batch 64, no raster
@@ -265,6 +307,8 @@ def main():
         config5_data_parallel(asset, steps)
     if want(6):
         config6_inference(asset, steps)
+    if want(7):
+        config7_hard_targets(asset, steps)
     if want(1) and not args.skip_cpu:
         config1_cpu_floor(asset, steps)
 

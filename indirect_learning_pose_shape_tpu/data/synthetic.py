@@ -53,6 +53,13 @@ class SyntheticConfig:
     # labelling the full body, as dataset annotations do for occluded people.
     occluders: int = 0
     occluder_size: float = 0.25  # max half-size as a fraction of the image
+    # Hard-renderer per-tile face budget (ops/raster_hard.py k_faces top_k
+    # culling); 0 = dense/exact. The stand-in's ~1.8k-face hull mesh runs
+    # faster dense at 256² (BASELINE.md hard-target throughput row); a real
+    # SMPL mesh (13.8k faces) needs a budget. Faces beyond the budget are
+    # DROPPED and counted in the render's `overflow` — pick via the bench
+    # row's overflow print / tests, not blind.
+    hard_k_faces: int = 0
 
 
 # Named eval distributions for the quality protocol (BASELINE.md round 4):
@@ -106,7 +113,7 @@ def apply_overrides(cfg: SyntheticConfig, specs) -> SyntheticConfig:
                 if value not in choices[name]:
                     raise ValueError(f"takes one of {choices[name]}")
                 updates[name] = value
-            elif name == "occluders":
+            elif name in ("occluders", "hard_k_faces"):
                 updates[name] = int(value)
             else:
                 updates[name] = float(value)
@@ -252,8 +259,10 @@ def generate_batch(
     if cfg.targets == "hard":
         # Renderer-independent targets: z-buffered triangle render from the
         # asset's faces. Dense (exact) face mode — the stand-in's per-part
-        # hull mesh is ~1.8k faces; `constrain` (SP row sharding) applies to
-        # the soft target path only and is ignored here.
+        # hull mesh is ~1.8k faces. `constrain` row-shards the pixel work
+        # over the 'render' mesh axis (tile bands ARE row bands; see
+        # hard_raster's docstring), so render_devices training composes
+        # with hard targets instead of silently replicating them.
         light = jnp.array([0.35, -0.5, 0.79]) + 0.6 * jax.random.normal(
             k_light, (batch, 3)
         )
@@ -262,8 +271,10 @@ def generate_batch(
             smpl_out["verts"][..., 2],
             consts.hard,
             size,
+            k_faces=cfg.hard_k_faces or None,
             with_shade=cfg.shading > 0,
             light=light,
+            constrain=constrain,
         )
         part_labels = hr["part_labels"]
         silhouette = hr["silhouette"]

@@ -142,6 +142,7 @@ def hard_raster(
     chunk: int = 64,
     with_shade: bool = False,
     light=(0.35, -0.5, 0.79),
+    constrain=None,
 ) -> dict[str, jax.Array]:
     """Z-buffered hard part-mask render. Jittable, target generation only.
 
@@ -159,9 +160,17 @@ def hard_raster(
       zbuf        [B, S, S] float32 depth (empty pixels at -3e38)
       shade       [B, S, S] float32 flat shade in [0,1] (when with_shade)
       overflow    []        int32 max culled-out face count over tiles
+
+    `constrain` (parallel/render_sp.constrainer) row-shards the pixel work
+    over the mesh's 'render' axis: the tile index is ty-major, so sharding
+    the [B, nt, tile²] scan carries in contiguous blocks IS row-band
+    sharding, and the detiled [B, S, S] outputs land row-sharded with no
+    resharding collective (blocks coincide). The face-coefficient side
+    stays replicated — it is tiny next to the pixel grids.
     """
     if size % tile:
         raise ValueError(f"size {size} must be a multiple of tile {tile}")
+    cst = constrain if constrain is not None else (lambda name, x: x)
     verts2d = jax.lax.stop_gradient(verts2d.astype(jnp.float32))
     verts_z = jax.lax.stop_gradient(verts_z.astype(jnp.float32))
     light = jnp.asarray(light, jnp.float32)
@@ -278,7 +287,7 @@ def hard_raster(
 
     zbuf, _ = jax.lax.scan(
         body_z,
-        jnp.full((B, nt, tile * tile), _NEG, jnp.float32),
+        cst("tiles_bnt", jnp.full((B, nt, tile * tile), _NEG, jnp.float32)),
         (cs, live),
     )
 
@@ -299,8 +308,8 @@ def hard_raster(
     (cwin, swin), _ = jax.lax.scan(
         body_win,
         (
-            jnp.zeros((B, nt, tile * tile), jnp.int32),
-            jnp.zeros((B, nt, tile * tile), jnp.float32),
+            cst("tiles_bnt", jnp.zeros((B, nt, tile * tile), jnp.int32)),
+            cst("tiles_bnt", jnp.zeros((B, nt, tile * tile), jnp.float32)),
         ),
         (cs, cls, live),
     )
@@ -313,17 +322,19 @@ def hard_raster(
             .reshape(B, size, size)
         )
 
-    zbuf = detile(zbuf)
+    zbuf = cst("image_bhw", detile(zbuf))
     covered = zbuf > _NEG / 2
     # cwin already carries class+1 (0 = no face won the pixel).
     out = {
-        "part_labels": jnp.where(covered, detile(cwin), 0).astype(jnp.int32),
-        "silhouette": covered.astype(jnp.float32),
+        "part_labels": cst(
+            "image_bhw", jnp.where(covered, detile(cwin), 0).astype(jnp.int32)
+        ),
+        "silhouette": cst("image_bhw", covered.astype(jnp.float32)),
         "zbuf": zbuf,
         "overflow": overflow,
     }
     if with_shade:
-        out["shade"] = jnp.where(covered, detile(swin), 0.0)
+        out["shade"] = cst("image_bhw", jnp.where(covered, detile(swin), 0.0))
     return out
 
 

@@ -71,6 +71,11 @@ def constrainer(mesh: Mesh):
         # score [B, C, H, W]: rows sharded — the layout everything
         # downstream (normalization, losses) propagates.
         "score_bchw": P(DATA_AXIS, None, RENDER_AXIS, None),
+        # Hard z-buffer raster (ops/raster_hard.py): the [B, nt, tile²]
+        # scan carries, ty-major tile order ⇒ contiguous nt blocks are
+        # row bands, and the detiled [B, S, S] outputs (same bands).
+        "tiles_bnt": P(DATA_AXIS, RENDER_AXIS, None),
+        "image_bhw": P(DATA_AXIS, RENDER_AXIS, None),
     }
 
     def constrain(name: str, x: jax.Array) -> jax.Array:

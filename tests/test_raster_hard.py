@@ -246,3 +246,39 @@ def synthetic_digest_v1():
 
 
 _DIGEST_V1 = (-18057.079485297203, 14981, 2783.94482421875)
+
+
+def test_synthetic_hard_k_faces_passthrough():
+    """SyntheticConfig.hard_k_faces threads top_k culling into the stream's
+    hard renderer: the culled graph contains the top_k cull, the dense one
+    does not. (Value equivalence at a valid budget is the 256² slow test —
+    at tiny test sizes any honest budget either overflows or degenerates
+    to the dense path.)"""
+    _, cfg, consts = _tiny_model()
+    key = jax.random.PRNGKey(7)
+    dense = synthetic.SyntheticConfig(targets="hard")
+    culled = synthetic.apply_overrides(dense, ["hard_k_faces=256"])
+    assert culled.hard_k_faces == 256
+    jp_d = str(jax.make_jaxpr(
+        lambda k: synthetic.generate_batch(k, 2, consts, cfg, dense)
+    )(key))
+    jp_c = str(jax.make_jaxpr(
+        lambda k: synthetic.generate_batch(k, 2, consts, cfg, culled)
+    )(key))
+    assert "top_k" in jp_c and "top_k" not in jp_d
+
+
+@pytest.mark.slow
+def test_hard_k512_no_overflow_at_protocol_size(rng):
+    """k_faces=512 loses nothing at the protocol render size on the
+    stand-in mesh — validates benchmarks/run_configs.py config7's culled
+    rows (overflowed faces would silently corrupt targets)."""
+    _, hc, v2d, vz = _small_setup(rng, size=256, batch=2)
+    dense = jax.jit(lambda a, b: rh.hard_raster(a, b, hc, 256))(v2d, vz)
+    culled = jax.jit(lambda a, b: rh.hard_raster(a, b, hc, 256, k_faces=512))(
+        v2d, vz
+    )
+    assert int(culled["overflow"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(dense["part_labels"]), np.asarray(culled["part_labels"])
+    )

@@ -136,3 +136,47 @@ def test_sp_mesh_validation():
                 base, render_devices=2, num_devices=8, batch_size=6
             )
         )
+
+
+def test_hard_raster_sp_matches_and_shards(rng):
+    """Hard z-buffer targets compose with the 'render' mesh axis: the
+    constrained render bit-matches the unconstrained one and its outputs
+    actually carry the row sharding (regression: the hard path used to
+    ignore `constrain` and silently replicate target generation)."""
+    from indirect_learning_pose_shape_tpu.ops import raster_hard as rh
+    from indirect_learning_pose_shape_tpu.utils import assets
+
+    asset = assets.synthetic_asset(num_verts=864)
+    hc = rh.build_hard_consts(asset.faces, asset.part_labels())
+    batch, size = 2, 64
+    v = asset.v_template[None] + 0.02 * rng.randn(
+        batch, *asset.v_template.shape
+    ).astype(np.float32)
+    v2d = jnp.asarray(
+        ((v[..., :2] / (np.abs(v[..., :2]).max() + 0.3)) + 1.0)
+        * 0.5
+        * (size - 1),
+        jnp.float32,
+    )
+    vz = jnp.asarray(v[..., 2], jnp.float32)
+
+    mesh = render_sp.render_mesh(n_data=2, n_render=4)
+    constrain = render_sp.constrainer(mesh)
+    sp = jax.jit(
+        lambda a, b: rh.hard_raster(
+            a, b, hc, size, with_shade=True, constrain=constrain
+        )
+    )(v2d, vz)
+    ref = jax.jit(lambda a, b: rh.hard_raster(a, b, hc, size, with_shade=True))(
+        v2d, vz
+    )
+
+    for k in ("part_labels", "silhouette", "shade"):
+        np.testing.assert_array_equal(np.asarray(sp[k]), np.asarray(ref[k]))
+    sil = sp["silhouette"]  # [B, S, S]
+    assert not sil.sharding.is_fully_replicated
+    assert sil.sharding.shard_shape(sil.shape) == (
+        batch // 2,
+        size // 4,
+        size,
+    )
