@@ -209,11 +209,12 @@ def ptq_quantize(
     run in bf16 instead of int8: those sites additionally store 'w_bf16'
     (the folded weight) and the serving paths skip BOTH the weight rounding
     and — on the carried path — the activation requantization feeding them.
-    The measured use (BASELINE.md §serving): carried-int8's only protocol
-    accuracy cost is +0.17 px keypoint error / −1.8% relative mIoU from
-    per-handoff activation rounding; keeping the stem and/or final stage
-    bf16 trades a few % throughput to close that gap — a per-site Pareto
-    knob rather than an all-or-nothing int8 switch.
+    Motivation: carried-int8's only protocol accuracy cost is +0.17 px
+    keypoint error / −1.8% relative mIoU from per-handoff activation
+    rounding (BASELINE.md §serving); this knob makes that a per-site
+    accuracy/throughput Pareto choice instead of an all-or-nothing int8
+    switch. The measured keep-variant rows (throughput + protocol
+    accuracy for stem / s4 / both) are BASELINE.md's keep_sites table.
     """
     folded = fold_bn(params, state, cfg)
     _, absmax = jax.jit(calibrate, static_argnums=2)(folded, calib_images, cfg)
