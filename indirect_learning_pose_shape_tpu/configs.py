@@ -222,6 +222,24 @@ CONFIG4_MIXED = TrainConfig(
     ),
 )
 
+# The measured-best ROBUST recipe (BASELINE.md round 5 "mixed × hardapp"):
+# config4_mixed's supervision (convention-free metric 3D + indirect) trained
+# on renderer-independent z-buffer targets under full appearance
+# randomization — the two highest-leverage robustness knobs combined. The
+# 3-suite scores beside the specialists' rows are the preset's contract;
+# costs ~0.11 s/step at b32 vs 0.013 soft (hard-target renderer;
+# benchmarks/run_configs.py config7).
+CONFIG4_ROBUST = dataclasses.replace(
+    CONFIG4_MIXED,
+    synthetic=SyntheticConfig(
+        targets="hard",
+        bg_mode="texture",
+        color_jitter=0.08,
+        shading=0.6,
+        occluders=2,
+    ),
+)
+
 # Mirror augmentation must know this label space: ids 1-24 follow SMPL,
 # 25-31 are the synthetic stand-in's reserved midline ids (data/augment.py
 # _PART_CONVENTIONS; a real UP-S31 palette needs 'custom' + part_lr_pairs).
@@ -240,6 +258,7 @@ PRESETS = {
     "config4_large": CONFIG4_LARGE,
     "config4_r34": CONFIG4_R34,
     "config4_mixed": CONFIG4_MIXED,
+    "config4_robust": CONFIG4_ROBUST,
     "config4_parts31": CONFIG4_PARTS31,
     "config5_data_parallel": CONFIG5_DATA_PARALLEL,
 }

@@ -54,11 +54,13 @@ class SyntheticConfig:
     occluders: int = 0
     occluder_size: float = 0.25  # max half-size as a fraction of the image
     # Hard-renderer per-tile face budget (ops/raster_hard.py k_faces top_k
-    # culling); 0 = dense/exact. The stand-in's ~1.8k-face hull mesh runs
-    # faster dense at 256² (BASELINE.md hard-target throughput row); a real
-    # SMPL mesh (13.8k faces) needs a budget. Faces beyond the budget are
-    # DROPPED and counted in the render's `overflow` — pick via the bench
-    # row's overflow print / tests, not blind.
+    # culling); 0 = dense/exact. k=512 is lossless on the stand-in's
+    # ~1.8k-face hull mesh at 256² (zero overflow, test-gated:
+    # tests/test_raster_hard.py) and ~30% faster in the full train step
+    # (60.4 vs 85.9 ms/step b32 — BASELINE.md hard-target throughput
+    # rows); dense stays the safe default because an undersized budget
+    # silently DROPS faces (counted in the render's `overflow` — gate any
+    # new mesh/budget with a dense-equality test before trusting it).
     hard_k_faces: int = 0
 
 

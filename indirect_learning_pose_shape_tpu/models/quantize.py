@@ -217,6 +217,17 @@ def ptq_quantize(
     accuracy for stem / s4 / both) are BASELINE.md's keep_sites table.
     """
     folded = fold_bn(params, state, cfg)
+    # A keep pattern that matches no site is a silent accuracy no-op (the
+    # classic: asking for the "final stage" as 's4' when stages are s0-s3)
+    # — refuse loudly, the repo's convention for label/name knobs.
+    unmatched = [
+        p for p in keep_sites if not any(_site_kept(s, (p,)) for s in folded)
+    ]
+    if unmatched:
+        raise ValueError(
+            f"keep_sites patterns {unmatched} match no encoder site; "
+            f"sites are {sorted(folded)}"
+        )
     _, absmax = jax.jit(calibrate, static_argnums=2)(folded, calib_images, cfg)
     qparams = {}
     for site, (w, b) in folded.items():

@@ -255,3 +255,17 @@ def test_keep_bf16_save_load_roundtrip(tmp_path, rng):
     f1 = q.quantized_encoder_apply(qp, x, cfg, impl="simc")
     f2 = q.quantized_encoder_apply(qp2, x, cfg, impl="simc")
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_keep_bf16_refuses_unmatched_patterns(rng):
+    """A keep pattern matching no site must raise, not silently keep
+    nothing (regression: '--keep-bf16 s4' was a silent no-op — ResNet
+    stages are s0-s3, so 's4' matched zero sites and produced a qparams
+    tree bit-identical to plain int8c)."""
+    cfg = enc.EncoderConfig(depth=18, width=16, compute_dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(2, 48, 48, 3).astype(np.float32)).clip(-1, 1)
+    params, state = _encoder_with_moved_stats(jax.random.PRNGKey(9), cfg, rng, x)
+    with pytest.raises(ValueError, match="s4"):
+        q.ptq_quantize(params, state, cfg, x, keep_sites=("s4",))
+    with pytest.raises(ValueError, match="match no encoder site"):
+        q.ptq_quantize(params, state, cfg, x, keep_sites=("stem", "nope"))

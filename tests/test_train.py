@@ -518,3 +518,30 @@ def test_fit_preprocessed_log_every_cadence(tiny_asset, tmp_path):
     lines = (tmp_path / "ple.jsonl").read_text().strip().splitlines()
     steps = [json.loads(ln)["step"] for ln in lines]
     assert steps == [0, 3, 5], steps
+
+
+def test_robust_preset_is_the_measured_recipe(tiny_asset):
+    """config4_robust == config4_mixed + the exact hardapp CLI knobs the
+    BASELINE.md robust rows were trained with (the measured-best recipe
+    must be one --preset away, not a prose incantation); one fused step
+    runs with hard targets + full appearance randomization."""
+    from indirect_learning_pose_shape_tpu.data import synthetic as syn
+
+    cli = dataclasses.replace(
+        configs.CONFIG4_MIXED,
+        synthetic=syn.apply_overrides(
+            configs.CONFIG4_MIXED.synthetic,
+            ["targets=hard", "bg_mode=texture", "color_jitter=0.08",
+             "shading=0.6", "occluders=2"],
+        ),
+    )
+    assert configs.PRESETS["config4_robust"] == cli
+    cfg = dataclasses.replace(
+        tiny_train_cfg(),
+        synthetic=configs.CONFIG4_ROBUST.synthetic,
+        loss_weights=configs.CONFIG4_ROBUST.loss_weights,
+    )
+    ts, consts = train.init_state(cfg, tiny_asset)
+    fused = train.compile_fused_step(cfg, consts)
+    ts, terms = fused(ts)
+    assert float(terms["total"]) > 0 and float(terms["j3d"]) >= 0
